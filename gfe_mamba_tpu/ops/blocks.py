@@ -1,0 +1,461 @@
+"""Convolutional building blocks for 2D/3D UNets (channels-last, TPU-native).
+
+Re-implements the behaviour of the reference conv-order DSL and block zoo
+(reference: pytorch3dunet/unet3d/buildingblocks.py:10-551 and
+pytorch3dunet/unet3d/se.py) as flax.linen modules.  Key semantics kept:
+
+* ``order`` strings compose a single conv layer out of primitive chars:
+  'c' conv, 'g' GroupNorm, 'b' BatchNorm, 'r' ReLU, 'l' LeakyReLU,
+  'e' ELU, 'd' Dropout, 'D' spatial (channel-wise) Dropout.
+* conv bias is only learned when no normalization ('g'/'b') is present
+  (buildingblocks.py:48).
+* GroupNorm placed before the conv normalizes the *input* channels;
+  after, the *output* channels; groups collapse to 1 when the channel
+  count is smaller than ``num_groups`` (buildingblocks.py:56-66).
+* ``ResNetBlock`` (buildingblocks.py:180-229): 1x1 shortcut when channel
+  counts differ, two convs (second with non-linearity stripped), sum,
+  then a separate non-linearity (LeakyReLU(0.1) / ELU / ReLU).
+* Decoder joining: concat for DoubleConv-style, summation for
+  ResNetBlock-style; upsampling via nearest interpolation or transposed
+  conv (buildingblocks.py:312-400,464-551).
+
+Everything here takes channels-LAST tensors ``(B, *spatial, C)`` --
+XLA's preferred TPU layout -- in contrast to the reference's NCDHW.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Array = jax.Array
+
+
+def _nonlinearity(char: str) -> Callable[[Array], Array]:
+    if char == "r":
+        return jax.nn.relu
+    if char == "l":
+        return lambda x: jax.nn.leaky_relu(x, negative_slope=0.01)
+    if char == "e":
+        return jax.nn.elu
+    raise ValueError(f"unknown non-linearity {char!r}")
+
+
+def _pad_tuple(padding, dims: int):
+    if isinstance(padding, str):
+        return padding
+    if isinstance(padding, int):
+        return [(padding, padding)] * dims
+    return [(p, p) for p in padding]
+
+
+class SingleConv(nn.Module):
+    """One conv layer assembled from an ``order`` DSL string.
+
+    Mirrors reference SingleConv (buildingblocks.py:89-115).
+    """
+
+    out_channels: int
+    kernel_size: int = 3
+    order: str = "gcr"
+    num_groups: int = 8
+    padding: int = 1
+    dropout_prob: float = 0.1
+    dims: int = 3
+
+    @nn.compact
+    def __call__(self, x: Array, *, deterministic: bool = True) -> Array:
+        assert "c" in self.order, "Conv layer MUST be present"
+        assert self.order[0] not in "rle", (
+            "Non-linearity cannot be the first operation in the layer"
+        )
+        use_bias = not ("g" in self.order or "b" in self.order)
+        conv_pos = self.order.index("c")
+        for i, char in enumerate(self.order):
+            if char in "rle":
+                x = _nonlinearity(char)(x)
+            elif char == "c":
+                x = nn.Conv(
+                    self.out_channels,
+                    kernel_size=(self.kernel_size,) * self.dims,
+                    padding=_pad_tuple(self.padding, self.dims),
+                    use_bias=use_bias,
+                    name="conv",
+                )(x)
+            elif char == "g":
+                num_channels = x.shape[-1]
+                groups = self.num_groups if num_channels >= self.num_groups else 1
+                assert num_channels % groups == 0, (
+                    f"channels {num_channels} not divisible by groups {groups}"
+                )
+                x = nn.GroupNorm(num_groups=groups, name=f"groupnorm_{i}")(x)
+            elif char == "b":
+                x = nn.BatchNorm(
+                    use_running_average=deterministic, name=f"batchnorm_{i}"
+                )(x)
+            elif char == "d":
+                x = nn.Dropout(self.dropout_prob, name=f"dropout_{i}")(
+                    x, deterministic=deterministic
+                )
+            elif char == "D":
+                # channel-wise dropout (torch Dropout2d/3d): drop whole
+                # channels, broadcast over the spatial dims.
+                x = nn.Dropout(
+                    self.dropout_prob,
+                    broadcast_dims=tuple(range(1, 1 + self.dims)),
+                    name=f"dropout2d_{i}",
+                )(x, deterministic=deterministic)
+            else:
+                raise ValueError(
+                    f"Unsupported layer type {char!r}. MUST be one of "
+                    "['b', 'g', 'r', 'l', 'e', 'c', 'd', 'D']"
+                )
+        del conv_pos
+        return x
+
+
+class DoubleConv(nn.Module):
+    """Two consecutive SingleConvs with the reference channel split.
+
+    Mirrors reference DoubleConv (buildingblocks.py:118-177): in the
+    encoder the first conv goes to ``out_channels // upscale`` (but never
+    below the input channel count); in the decoder both convs use
+    ``out_channels``.
+    """
+
+    out_channels: int
+    encoder: bool
+    kernel_size: int = 3
+    order: str = "gcr"
+    num_groups: int = 8
+    padding: int = 1
+    upscale: int = 2
+    dropout_prob: float | Sequence[float] = 0.1
+    dims: int = 3
+
+    @nn.compact
+    def __call__(self, x: Array, *, deterministic: bool = True) -> Array:
+        in_channels = x.shape[-1]
+        if self.encoder:
+            if self.upscale == 1:
+                conv1_out = self.out_channels
+            else:
+                conv1_out = self.out_channels // 2
+            if conv1_out < in_channels:
+                conv1_out = in_channels
+        else:
+            conv1_out = self.out_channels
+
+        if isinstance(self.dropout_prob, (list, tuple)):
+            p1, p2 = self.dropout_prob[0], self.dropout_prob[1]
+        else:
+            p1 = p2 = self.dropout_prob
+
+        x = SingleConv(
+            conv1_out, self.kernel_size, self.order, self.num_groups,
+            self.padding, p1, self.dims, name="SingleConv1",
+        )(x, deterministic=deterministic)
+        x = SingleConv(
+            self.out_channels, self.kernel_size, self.order, self.num_groups,
+            self.padding, p2, self.dims, name="SingleConv2",
+        )(x, deterministic=deterministic)
+        return x
+
+
+class ResNetBlock(nn.Module):
+    """Residual block (buildingblocks.py:180-229): 1x1 shortcut + 2 convs
+    (the second with its non-linearity stripped), sum, non-linearity.
+    """
+
+    out_channels: int
+    kernel_size: int = 3
+    order: str = "cge"
+    num_groups: int = 8
+    dims: int = 3
+
+    @nn.compact
+    def __call__(self, x: Array, *, deterministic: bool = True) -> Array:
+        if x.shape[-1] != self.out_channels:
+            residual = nn.Conv(
+                self.out_channels, kernel_size=(1,) * self.dims, name="conv1"
+            )(x)
+        else:
+            residual = x
+
+        out = SingleConv(
+            self.out_channels, self.kernel_size, self.order, self.num_groups,
+            dims=self.dims, name="conv2",
+        )(residual, deterministic=deterministic)
+        n_order = self.order
+        for c in "rel":
+            n_order = n_order.replace(c, "")
+        out = SingleConv(
+            self.out_channels, self.kernel_size, n_order, self.num_groups,
+            dims=self.dims, name="conv3",
+        )(out, deterministic=deterministic)
+
+        out = out + residual
+        if "l" in self.order:
+            out = jax.nn.leaky_relu(out, negative_slope=0.1)
+        elif "e" in self.order:
+            out = jax.nn.elu(out)
+        else:
+            out = jax.nn.relu(out)
+        return out
+
+
+class ChannelSELayer(nn.Module):
+    """Channel squeeze-and-excitation (se.py:18-51), N-D channels-last."""
+
+    reduction_ratio: int = 2
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        num_channels = x.shape[-1]
+        spatial_axes = tuple(range(1, x.ndim - 1))
+        squeeze = jnp.mean(x, axis=spatial_axes)  # (B, C)
+        h = jax.nn.relu(
+            nn.Dense(num_channels // self.reduction_ratio, name="fc1")(squeeze)
+        )
+        scale = jax.nn.sigmoid(nn.Dense(num_channels, name="fc2")(h))
+        scale = scale.reshape(scale.shape[:1] + (1,) * len(spatial_axes) + (num_channels,))
+        return x * scale
+
+
+class SpatialSELayer(nn.Module):
+    """Spatial squeeze-and-excitation (se.py:54-92), N-D channels-last."""
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        dims = x.ndim - 2
+        gate = nn.Conv(1, kernel_size=(1,) * dims, name="conv")(x)
+        return x * jax.nn.sigmoid(gate)
+
+
+class ChannelSpatialSELayer(nn.Module):
+    """max(cSE(x), sSE(x)) -- se.py:95-118."""
+
+    reduction_ratio: int = 2
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        cse = ChannelSELayer(self.reduction_ratio, name="cSE")(x)
+        sse = SpatialSELayer(name="sSE")(x)
+        return jnp.maximum(cse, sse)
+
+
+class ResNetBlockSE(nn.Module):
+    """ResNetBlock followed by an SE module (buildingblocks.py:232-248)."""
+
+    out_channels: int
+    kernel_size: int = 3
+    order: str = "cge"
+    num_groups: int = 8
+    se_module: str = "scse"
+    dims: int = 3
+
+    @nn.compact
+    def __call__(self, x: Array, *, deterministic: bool = True) -> Array:
+        out = ResNetBlock(
+            self.out_channels, self.kernel_size, self.order, self.num_groups,
+            self.dims, name="block",
+        )(x, deterministic=deterministic)
+        if self.se_module == "scse":
+            out = ChannelSpatialSELayer(reduction_ratio=1, name="se")(out)
+        elif self.se_module == "cse":
+            out = ChannelSELayer(reduction_ratio=1, name="se")(out)
+        elif self.se_module == "sse":
+            out = SpatialSELayer(name="se")(out)
+        else:
+            raise ValueError(f"unknown se_module {self.se_module!r}")
+        return out
+
+
+_BASIC_MODULES = {
+    "DoubleConv": DoubleConv,
+    "ResNetBlock": ResNetBlock,
+    "ResNetBlockSE": ResNetBlockSE,
+}
+
+
+def _make_basic(basic_module: str, out_channels: int, *, encoder: bool,
+                kernel_size, order, num_groups, padding, upscale,
+                dropout_prob, dims, name):
+    """Instantiate a basic block by name, passing only the args it takes."""
+    if basic_module == "DoubleConv":
+        return DoubleConv(
+            out_channels, encoder=encoder, kernel_size=kernel_size,
+            order=order, num_groups=num_groups, padding=padding,
+            upscale=upscale, dropout_prob=dropout_prob, dims=dims, name=name,
+        )
+    if basic_module == "ResNetBlock":
+        return ResNetBlock(
+            out_channels, kernel_size=kernel_size, order=order,
+            num_groups=num_groups, dims=dims, name=name,
+        )
+    if basic_module == "ResNetBlockSE":
+        return ResNetBlockSE(
+            out_channels, kernel_size=kernel_size, order=order,
+            num_groups=num_groups, dims=dims, name=name,
+        )
+    raise ValueError(f"unknown basic_module {basic_module!r}")
+
+
+class Encoder(nn.Module):
+    """Optional pooling followed by a basic block (buildingblocks.py:251-309)."""
+
+    out_channels: int
+    basic_module: str = "DoubleConv"
+    conv_kernel_size: int = 3
+    apply_pooling: bool = True
+    pool_kernel_size: int = 2
+    pool_type: str = "max"
+    order: str = "gcr"
+    num_groups: int = 8
+    padding: int = 1
+    upscale: int = 2
+    dropout_prob: float = 0.1
+    dims: int = 3
+
+    @nn.compact
+    def __call__(self, x: Array, *, deterministic: bool = True) -> Array:
+        if self.apply_pooling:
+            window = (self.pool_kernel_size,) * self.dims
+            if self.pool_type == "max":
+                x = nn.max_pool(x, window, strides=window)
+            else:
+                x = nn.avg_pool(x, window, strides=window)
+        block = _make_basic(
+            self.basic_module, self.out_channels, encoder=True,
+            kernel_size=self.conv_kernel_size, order=self.order,
+            num_groups=self.num_groups, padding=self.padding,
+            upscale=self.upscale, dropout_prob=self.dropout_prob,
+            dims=self.dims, name="basic_module",
+        )
+        return block(x, deterministic=deterministic)
+
+
+def _interpolate_to(x: Array, spatial: Sequence[int], method: str) -> Array:
+    """Resize channels-last ``x`` to target spatial dims."""
+    target = (x.shape[0],) + tuple(spatial) + (x.shape[-1],)
+    if tuple(x.shape) == target:
+        return x
+    return jax.image.resize(x, target, method=method)
+
+
+class Decoder(nn.Module):
+    """Upsample + join + basic block (buildingblocks.py:312-400).
+
+    ``upsample='default'`` resolves to nearest-interpolation + concat
+    joining for DoubleConv, and transposed-conv + summation joining for
+    ResNetBlock(SE) -- matching buildingblocks.py:349-358.  The
+    transposed conv (k=3, stride=2, pad=1) produces ``2*n - 1`` samples
+    which are then nearest-resized to the skip's spatial size, exactly
+    like the reference's interpolation workaround
+    (buildingblocks.py:512-531).
+    """
+
+    out_channels: int
+    basic_module: str = "DoubleConv"
+    conv_kernel_size: int = 3
+    scale_factor: int = 2
+    order: str = "gcr"
+    num_groups: int = 8
+    padding: int = 1
+    upsample: str = "default"
+    dropout_prob: float = 0.1
+    dims: int = 3
+
+    @nn.compact
+    def __call__(self, encoder_features: Array, x: Array,
+                 *, deterministic: bool = True) -> Array:
+        upsample = self.upsample
+        concat = True
+        if upsample is not None and upsample != "none":
+            if upsample == "default":
+                if self.basic_module == "DoubleConv":
+                    upsample, concat = "nearest", True
+                else:
+                    upsample, concat = "deconv", False
+            target_spatial = encoder_features.shape[1:-1]
+            if upsample == "deconv":
+                x = nn.ConvTranspose(
+                    self.out_channels,
+                    kernel_size=(self.conv_kernel_size,) * self.dims,
+                    strides=(self.scale_factor,) * self.dims,
+                    padding=[(1, 1)] * self.dims,
+                    use_bias=False,
+                    name="upsampling",
+                )(x)
+                x = _interpolate_to(x, target_spatial, "nearest")
+            else:
+                method = {"trilinear": "trilinear", "bilinear": "bilinear",
+                          "linear": "linear"}.get(upsample, upsample)
+                if method in ("trilinear", "bilinear", "linear"):
+                    method = "linear"
+                x = _interpolate_to(x, target_spatial, method)
+
+        if concat:
+            x = jnp.concatenate([encoder_features, x], axis=-1)
+        else:
+            x = encoder_features + x
+
+        block = _make_basic(
+            self.basic_module, self.out_channels, encoder=False,
+            kernel_size=self.conv_kernel_size, order=self.order,
+            num_groups=self.num_groups, padding=self.padding, upscale=2,
+            dropout_prob=self.dropout_prob, dims=self.dims,
+            name="basic_module",
+        )
+        return block(x, deterministic=deterministic)
+
+
+def make_encoder_stack(f_maps: Sequence[int], basic_module: str,
+                       conv_kernel_size: int, conv_padding: int,
+                       conv_upscale: int, dropout_prob, layer_order: str,
+                       num_groups: int, pool_kernel_size: int,
+                       dims: int) -> list[Encoder]:
+    """Mirror of reference create_encoders (buildingblocks.py:403-435)."""
+    encoders = []
+    for i, out_feature_num in enumerate(f_maps):
+        encoders.append(Encoder(
+            out_feature_num,
+            basic_module=basic_module,
+            conv_kernel_size=conv_kernel_size,
+            apply_pooling=i > 0,
+            pool_kernel_size=pool_kernel_size,
+            order=layer_order,
+            num_groups=num_groups,
+            padding=conv_padding,
+            upscale=conv_upscale,
+            dropout_prob=dropout_prob,
+            dims=dims,
+            name=f"encoder_{i}",
+        ))
+    return encoders
+
+
+def make_decoder_stack(f_maps: Sequence[int], basic_module: str,
+                       conv_kernel_size: int, conv_padding: int,
+                       layer_order: str, num_groups: int, upsample: str,
+                       dropout_prob, dims: int) -> list[Decoder]:
+    """Mirror of reference create_decoders (buildingblocks.py:438-461)."""
+    decoders = []
+    reversed_f_maps = list(reversed(f_maps))
+    for i in range(len(reversed_f_maps) - 1):
+        decoders.append(Decoder(
+            reversed_f_maps[i + 1],
+            basic_module=basic_module,
+            conv_kernel_size=conv_kernel_size,
+            order=layer_order,
+            num_groups=num_groups,
+            padding=conv_padding,
+            upsample=upsample,
+            dropout_prob=dropout_prob,
+            dims=dims,
+            name=f"decoder_{i}",
+        ))
+    return decoders

@@ -1,0 +1,21 @@
+"""Test harness: run everything on CPU with 8 virtual devices so
+multi-chip sharding is exercised without TPU hardware (the TPU-native
+substitute for multi-node CI -- see SURVEY.md section 4f)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")
+# Persistent compile cache: XLA:CPU compiles are several seconds each in
+# this environment; cache them across test processes.
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
