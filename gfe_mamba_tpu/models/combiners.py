@@ -1,0 +1,118 @@
+"""Feature combiners: generator features -> classifier token sequences.
+
+Re-implements classify/classifier.py.  The live-path combiner is
+``CombineClassifierVitMid`` (classifier.py:324-333): concat the ViT
+bottleneck input/output along channels, flatten the 2D map, and project
+H*W -> seq_length, yielding ``(B, seq_length, 2*C)`` tokens (with the
+canonical config: (B, 4, 512)).
+
+The legacy pyramid combiners (Combine_classfier_* , classifier.py:144-
+370) pool encoder/decoder skip features through strided conv stacks;
+``CombinePyramid`` reproduces their shared skeleton with the
+stride-DSL ``StridedConv`` (SingleConv_modi, classifier.py:6-14).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+from einops import rearrange
+from flax import linen as nn
+
+from gfe_mamba_tpu.ops.blocks import SingleConv
+
+Array = jnp.ndarray
+
+
+class CombineClassifierVitMid(nn.Module):
+    """(B,H,W,C) mid_input + mid_output -> (B, seq_length, 2C) tokens
+    (classifier.py:324-333).  One (H*W x seq_length) matmul."""
+
+    seq_length: int = 1
+
+    @nn.compact
+    def __call__(self, mid_input: Array, mid_output: Array) -> Array:
+        x = jnp.concatenate([mid_input, mid_output], axis=-1)  # (B,H,W,2C)
+        x = rearrange(x, "b h w c -> b c (h w)")
+        x = nn.Dense(self.seq_length, name="vit_mid_linear")(x)  # (B,2C,S)
+        return jnp.swapaxes(x, 1, 2)                             # (B,S,2C)
+
+
+class StridedConv(nn.Module):
+    """SingleConv with stride (SingleConv_modi, classifier.py:6-14)."""
+
+    out_channels: int
+    kernel_size: int = 3
+    order: str = "cge"
+    num_groups: int = 8
+    padding: int = 1
+    stride: int = 1
+    dims: int = 3
+
+    @nn.compact
+    def __call__(self, x: Array, *, deterministic: bool = True) -> Array:
+        # conv with stride, then the remaining order chars
+        import jax
+
+        use_bias = not ("g" in self.order or "b" in self.order)
+        for i, char in enumerate(self.order):
+            if char == "c":
+                x = nn.Conv(self.out_channels,
+                            kernel_size=(self.kernel_size,) * self.dims,
+                            strides=(self.stride,) * self.dims,
+                            padding=[(self.padding, self.padding)] * self.dims,
+                            use_bias=use_bias, name="conv")(x)
+            elif char == "g":
+                ch = x.shape[-1]
+                groups = self.num_groups if ch >= self.num_groups else 1
+                x = nn.GroupNorm(num_groups=groups, name=f"gn_{i}")(x)
+            elif char == "e":
+                x = jax.nn.elu(x)
+            elif char == "r":
+                x = jax.nn.relu(x)
+            elif char == "l":
+                x = jax.nn.leaky_relu(x)
+        return x
+
+
+def _pool(x: Array, window: int = 3, stride: int = 2, kind: str = "max") -> Array:
+    dims = x.ndim - 2
+    w = (window,) * dims
+    s = (stride,) * dims
+    if kind == "max":
+        return nn.max_pool(x, w, strides=s)
+    return nn.avg_pool(x, w, strides=s)
+
+
+class CombinePyramid(nn.Module):
+    """Skeleton of the legacy pyramid combiners (Combine_classfier_3,
+    classifier.py:336-370): per-scale strided convs over concatenated
+    encoder+decoder features, pooled conv pyramid, flattened tokens."""
+
+    latent_dim: int = 128
+    f_maps: Sequence[int] = (64, 128, 256)
+
+    @nn.compact
+    def __call__(self, encoders_feature: Sequence[Array],
+                 decoders_feature: Sequence[Array], *,
+                 deterministic: bool = True) -> Array:
+        assert len(encoders_feature) == len(decoders_feature) == 2
+        extract = [
+            StridedConv(self.latent_dim, 3, "cge", 8, 1, stride=2,
+                        name="extract_0"),
+            StridedConv(self.latent_dim, 3, "cge", 8, 1, stride=1,
+                        name="extract_1"),
+        ]
+        feats = []
+        for en, de, mod in zip(encoders_feature, decoders_feature, extract):
+            feats.append(mod(jnp.concatenate([en, de], axis=-1),
+                             deterministic=deterministic))
+        whole = _pool(jnp.concatenate(feats, axis=-1))
+        f3 = _pool(StridedConv(self.latent_dim * 2, 1, "cge", 8, 0,
+                               name="feature3_conv")(whole))
+        f4 = _pool(StridedConv(self.latent_dim * 4, 1, "cge", 8, 0,
+                               name="feature4_conv")(f3))
+        f5 = _pool(StridedConv(self.latent_dim * 4, 1, "cge", 8, 0,
+                               name="feature5_conv")(f4), kind="avg")
+        return rearrange(f5, "b x y z c -> b (x y z) c")

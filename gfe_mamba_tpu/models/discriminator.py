@@ -1,0 +1,86 @@
+"""3D PatchGAN discriminator.
+
+Fills the role of MONAI ``PatchDiscriminator(spatial_dims=3,
+num_layers_d=3, num_channels=32, in_channels=1, out_channels=1,
+kernel_size=4, padding=1)`` in the Stage-1 GAN (main_gan_vit.py:33-40):
+a pix2pix-style patch classifier over 3D volumes.
+
+Structure (standard 70x70-PatchGAN generalized to 3D):
+  conv(k4,s2) + LeakyReLU(0.2)                      [no norm]
+  x (num_layers_d - 1): conv(k4,s2) + Norm + LeakyReLU(0.2)
+  conv(k4,s1) + Norm + LeakyReLU(0.2)               [channel x2]
+  conv(k4,s1) -> out_channels patch logits
+
+``__call__`` returns the list of intermediate features with the final
+patch logits LAST, preserving the reference's ``discriminator(x)[-1]``
+access pattern (main_gan_vit.py:75,88,90).  Instance norm (GroupNorm
+with one channel per group) replaces batch norm: batch-size-1 GAN
+training (the reference's config) makes batch statistics degenerate,
+and instance norm jits cleanly with no mutable state.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Array = jax.Array
+
+
+class PatchDiscriminator(nn.Module):
+    num_layers_d: int = 3
+    num_channels: int = 32
+    out_channels: int = 1
+    kernel_size: int = 4
+    dims: int = 3
+
+    @staticmethod
+    def _padding(x: Array, kernel: int) -> list[tuple[int, int]]:
+        """Base (1,1) padding, widened per-dim so every conv output has
+        at least one sample even on toy-sized volumes (torch would raise
+        there; the canonical 160x160x96 path keeps the exact pix2pix
+        (1,1) padding)."""
+        pads = []
+        for n in x.shape[1:-1]:
+            lo = 1
+            hi = max(1, kernel - n - lo)
+            pads.append((lo, hi))
+        return pads
+
+    @nn.compact
+    def __call__(self, x: Array) -> list[Array]:
+        k = (self.kernel_size,) * self.dims
+        s2 = (2,) * self.dims
+        s1 = (1,) * self.dims
+        features = []
+
+        ch = self.num_channels
+        x = nn.Conv(ch, k, strides=s2,
+                    padding=self._padding(x, self.kernel_size),
+                    name="conv_0")(x)
+        x = jax.nn.leaky_relu(x, 0.2)
+        features.append(x)
+
+        for i in range(1, self.num_layers_d):
+            ch *= 2
+            x = nn.Conv(ch, k, strides=s2,
+                        padding=self._padding(x, self.kernel_size),
+                        use_bias=False, name=f"conv_{i}")(x)
+            x = nn.GroupNorm(num_groups=None, group_size=1, name=f"norm_{i}")(x)
+            x = jax.nn.leaky_relu(x, 0.2)
+            features.append(x)
+
+        ch *= 2
+        x = nn.Conv(ch, k, strides=s1,
+                    padding=self._padding(x, self.kernel_size),
+                    use_bias=False, name="conv_pre")(x)
+        x = nn.GroupNorm(num_groups=None, group_size=1, name="norm_pre")(x)
+        x = jax.nn.leaky_relu(x, 0.2)
+        features.append(x)
+
+        logits = nn.Conv(self.out_channels, k, strides=s1,
+                         padding=self._padding(x, self.kernel_size),
+                         name="conv_out")(x)
+        features.append(logits)
+        return features

@@ -1,0 +1,351 @@
+"""Jamba: interleaved Mamba / GQA-attention layers with sparse MoE.
+
+Re-implements reference cross_atten/jamba.py: ``JambaLMConfig``
+(jamba.py:37-95), the attention/Mamba layer interleave rule
+(jamba.py:259-276), GQA attention with KV cache (jamba.py:342-398),
+``SparseMoEBlock`` top-k routing (jamba.py:441-517), SwiGLU ``MLP``
+(jamba.py:519-535), ``load_balancing_loss`` (jamba.py:537-555) and
+``JambaLM`` (jamba.py:148-243).
+
+TPU-first deviation: expert dispatch is DENSE.  The reference loops over
+experts with boolean indexing + ``index_add_`` -- a scatter/gather
+pattern that is hostile to XLA.  Here all experts' SwiGLU weights are
+stacked into (E, D, F) tensors and every token is pushed through every
+expert as one batched einsum, then combined with the (hard, top-k
+masked) routing weights.  For GFE-Mamba's tiny sequences this is faster
+than sparse dispatch on the MXU, and the stacked expert dimension is the
+natural expert-parallel shard axis (shard dim 0 of the stacked kernels
+over an ``expert`` mesh axis).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from einops import rearrange
+from flax import linen as nn
+
+from gfe_mamba_tpu.models.mamba import MambaBlock, MambaConfig, RMSNorm
+
+Array = jax.Array
+
+
+@dataclass(frozen=True)
+class JambaConfig:
+    """Reference JambaLMConfig (jamba.py:37-95)."""
+
+    d_model: int
+    n_layers: int
+    mlp_size: int
+
+    initializer_range: float = 0.02
+    rms_norm_eps: float = 1e-5
+
+    # mamba
+    d_state: int = 16
+    expand_factor: int = 2
+    d_conv: int = 4
+    dt_rank: int | str = "auto"
+    dt_min: float = 0.001
+    dt_max: float = 0.1
+    dt_init: str = "random"
+    dt_scale: float = 1.0
+    dt_init_floor: float = 1e-4
+    bias: bool = False
+    conv_bias: bool = True
+    inner_layernorms: bool = True
+    scan_mode: str = "associative"
+
+    # attention
+    num_attention_heads: int = 32
+    num_key_value_heads: int = 8
+    attention_dropout: float = 0.0
+
+    # MoE
+    num_experts: int = 16
+    num_experts_per_tok: int = 2
+
+    # structure (jamba.py:77-81)
+    attn_layer_offset: int = 4
+    attn_layer_period: int = 8
+    expert_layer_offset: int = 1
+    expert_layer_period: int = 2
+
+    # language modeling
+    vocab_size: int = 65536
+    pad_token_id: int = 0
+    tie_lm_weights: bool = True
+
+    @property
+    def mamba_config(self) -> MambaConfig:
+        return MambaConfig(
+            d_model=self.d_model, n_layers=0, dt_rank=self.dt_rank,
+            d_state=self.d_state, expand_factor=self.expand_factor,
+            d_conv=self.d_conv, dt_min=self.dt_min, dt_max=self.dt_max,
+            dt_init=self.dt_init, dt_scale=self.dt_scale,
+            rms_norm_eps=self.rms_norm_eps, bias=self.bias,
+            conv_bias=self.conv_bias, inner_layernorms=self.inner_layernorms,
+            scan_mode=self.scan_mode,
+        )
+
+    def is_attn_layer(self, i: int) -> bool:
+        return (i - self.attn_layer_offset) % self.attn_layer_period == 0
+
+    def is_expert_layer(self, i: int) -> bool:
+        return (i - self.expert_layer_offset) % self.expert_layer_period == 0
+
+
+class GQAttention(nn.Module):
+    """Grouped-query causal attention with optional KV cache
+    (jamba.py:342-398 + repeat_kv:557-567)."""
+
+    config: JambaConfig
+
+    @nn.compact
+    def __call__(self, x: Array, cache=None, *, deterministic: bool = True):
+        cfg = self.config
+        n_heads = cfg.num_attention_heads
+        n_kv = cfg.num_key_value_heads
+        head_dim = cfg.d_model // n_heads
+        groups = n_heads // n_kv
+
+        q = nn.Dense(n_heads * head_dim, use_bias=False, name="q_proj")(x)
+        k = nn.Dense(n_kv * head_dim, use_bias=False, name="k_proj")(x)
+        v = nn.Dense(n_kv * head_dim, use_bias=False, name="v_proj")(x)
+        q = rearrange(q, "b l (h d) -> b h l d", h=n_heads)
+        k = rearrange(k, "b l (h d) -> b h l d", h=n_kv)
+        v = rearrange(v, "b l (h d) -> b h l d", h=n_kv)
+
+        causal = cache is None
+        if cache is not None:
+            past_k, past_v = cache
+            if past_k is not None:
+                k = jnp.concatenate([past_k, k], axis=2)
+                v = jnp.concatenate([past_v, v], axis=2)
+            cache = (k, v)
+
+        # GQA: expand kv heads to query heads
+        k = jnp.repeat(k, groups, axis=1)
+        v = jnp.repeat(v, groups, axis=1)
+
+        logits = jnp.einsum("bhid,bhjd->bhij", q, k) / math.sqrt(head_dim)
+        if causal:
+            li, lj = logits.shape[-2:]
+            mask = jnp.tril(jnp.ones((li, lj), bool), k=lj - li)
+            logits = jnp.where(mask, logits, -jnp.inf)
+        attn = jax.nn.softmax(logits, axis=-1)
+        attn = nn.Dropout(self.config.attention_dropout)(
+            attn, deterministic=deterministic)
+        out = jnp.einsum("bhij,bhjd->bhid", attn, v)
+        out = rearrange(out, "b h l d -> b l (h d)")
+        out = nn.Dense(cfg.d_model, use_bias=False, name="o_proj")(out)
+        return out, cache
+
+
+class MLP(nn.Module):
+    """SwiGLU: down(silu(gate(x)) * up(x)) (jamba.py:519-535)."""
+
+    mlp_size: int
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        d = x.shape[-1]
+        g = nn.Dense(self.mlp_size, use_bias=False, name="gate_proj")(x)
+        u = nn.Dense(self.mlp_size, use_bias=False, name="up_proj")(x)
+        return nn.Dense(d, use_bias=False, name="down_proj")(
+            jax.nn.silu(g) * u)
+
+
+class SparseMoEBlock(nn.Module):
+    """Top-k routed SwiGLU experts with DENSE batched dispatch
+    (semantics of jamba.py:441-517; see module docstring for why the
+    dispatch differs)."""
+
+    num_experts: int
+    num_experts_per_tok: int
+    mlp_size: int
+
+    @nn.compact
+    def __call__(self, x: Array):
+        bsz, seq, d = x.shape
+        if self.num_experts == 1:
+            out = MLP(self.mlp_size, name="expert")(x)
+            return out, jnp.ones((bsz * seq, 1), x.dtype)
+
+        router_logits = nn.Dense(self.num_experts, use_bias=False,
+                                 name="router")(x)          # (B, L, E)
+        weights = jax.nn.softmax(router_logits.astype(jnp.float32), axis=-1)
+        top_w, top_i = jax.lax.top_k(weights, self.num_experts_per_tok)
+        # hard top-k gate: (B, L, E) with the top-k softmax weights
+        gates = jnp.sum(
+            jax.nn.one_hot(top_i, self.num_experts, dtype=x.dtype)
+            * top_w[..., None].astype(x.dtype),
+            axis=-2,
+        )
+
+        # stacked expert weights: the leading E axis is the EP shard axis
+        init = nn.initializers.lecun_normal(batch_axis=(0,))
+        w_gate = self.param("experts_gate", init, (self.num_experts, d, self.mlp_size))
+        w_up = self.param("experts_up", init, (self.num_experts, d, self.mlp_size))
+        w_down = self.param("experts_down", init, (self.num_experts, self.mlp_size, d))
+
+        g = jnp.einsum("bld,edf->belf", x, w_gate)
+        u = jnp.einsum("bld,edf->belf", x, w_up)
+        y = jnp.einsum("belf,efd->beld", jax.nn.silu(g) * u, w_down)
+        out = jnp.einsum("beld,ble->bld", y, gates)
+        return out, router_logits.reshape(bsz * seq, self.num_experts)
+
+
+class JambaLayer(nn.Module):
+    """One decoder layer: RMSNorm -> mixer -> +res; RMSNorm -> MoE -> +res
+    (jamba.py:308-340 attention / 400-439 mamba)."""
+
+    config: JambaConfig
+    is_attn: bool
+    num_experts: int
+
+    def setup(self):
+        cfg = self.config
+        if self.is_attn:
+            self.self_attn = GQAttention(cfg, name="self_attn")
+        else:
+            self.mamba = MambaBlock(cfg.mamba_config, name="mamba")
+        k = cfg.num_experts_per_tok if self.num_experts > 1 else 1
+        self.moe = SparseMoEBlock(self.num_experts, k, cfg.mlp_size,
+                                  name="moe")
+        self.input_layernorm = RMSNorm(cfg.rms_norm_eps,
+                                       name="input_layernorm")
+        self.pre_moe_layernorm = RMSNorm(cfg.rms_norm_eps,
+                                         name="pre_moe_layernorm")
+
+    def __call__(self, x: Array, *, deterministic: bool = True):
+        residual = x
+        h = self.input_layernorm(x)
+        if self.is_attn:
+            h, _ = self.self_attn(h, deterministic=deterministic)
+        else:
+            h = self.mamba(h)
+        x = residual + h
+
+        residual = x
+        h = self.pre_moe_layernorm(x)
+        h, router_logits = self.moe(h)
+        return residual + h, router_logits
+
+    def step(self, x: Array, cache, *, deterministic: bool = True):
+        """x: (B, 1, D) one token; cache is (k, v) for attention layers,
+        (h, conv_in) for mamba layers."""
+        residual = x
+        h = self.input_layernorm(x)
+        if self.is_attn:
+            h, cache = self.self_attn(h, cache, deterministic=deterministic)
+        else:
+            h_tok, cache = self.mamba.step(h[:, 0], cache)
+            h = h_tok[:, None]
+        x = residual + h
+
+        residual = x
+        h = self.pre_moe_layernorm(x)
+        h, _ = self.moe(h)
+        return residual + h, cache
+
+
+class Jamba(nn.Module):
+    """Layer stack (jamba.py:258-306): returns (x, router_logits list)."""
+
+    config: JambaConfig
+
+    def setup(self):
+        cfg = self.config
+        layers = []
+        for i in range(cfg.n_layers):
+            num_experts = cfg.num_experts if cfg.is_expert_layer(i) else 1
+            layers.append(JambaLayer(cfg, is_attn=cfg.is_attn_layer(i),
+                                     num_experts=num_experts,
+                                     name=f"layer_{i}"))
+        self.layers = layers
+
+    def __call__(self, x: Array, *, deterministic: bool = True):
+        router_logits = []
+        for layer in self.layers:
+            x, logits = layer(x, deterministic=deterministic)
+            router_logits.append(logits)
+        return x, router_logits
+
+    def step(self, x: Array, caches, *, deterministic: bool = True):
+        new_caches = []
+        for layer, cache in zip(self.layers, caches):
+            x, cache = layer.step(x, cache, deterministic=deterministic)
+            new_caches.append(cache)
+        return x, new_caches
+
+    def init_cache(self, batch: int, dtype=jnp.float32):
+        cfg = self.config
+        caches = []
+        for i in range(cfg.n_layers):
+            if cfg.is_attn_layer(i):
+                caches.append((None, None))
+            else:
+                caches.append((
+                    jnp.zeros((batch, cfg.mamba_config.d_inner,
+                               cfg.d_state), dtype),
+                    jnp.zeros((batch, cfg.d_conv - 1,
+                               cfg.mamba_config.d_inner), dtype),
+                ))
+        return caches
+
+
+def load_balancing_loss(router_logits: Sequence[Array], num_experts: int,
+                        num_experts_per_tok: int) -> Array:
+    """Switch-style aux loss (jamba.py:537-555)."""
+    stacked = jnp.concatenate(
+        [r for r in router_logits if r.shape[1] > 1], axis=0)
+    weights = jax.nn.softmax(stacked, axis=-1)
+    _, selected = jax.lax.top_k(weights, num_experts_per_tok)
+    mask = jax.nn.one_hot(selected, num_experts)
+    tokens_per_expert = jnp.mean(mask, axis=0)
+    router_prob_per_expert = jnp.mean(weights, axis=0)
+    return jnp.sum(tokens_per_expert * router_prob_per_expert[None]) * num_experts
+
+
+class JambaLM(nn.Module):
+    """Embedding + Jamba + LM head (jamba.py:148-243).  HF
+    ``from_pretrained`` weight import is deliberately not wired yet --
+    this environment has no network egress; a weight-mapping loader can
+    consume a locally downloaded HF checkpoint in a later round."""
+
+    config: JambaConfig
+
+    def setup(self):
+        cfg = self.config
+        self.embedding = nn.Embed(
+            cfg.vocab_size, cfg.d_model,
+            embedding_init=nn.initializers.normal(cfg.initializer_range),
+            name="embedding")
+        self.jamba = Jamba(cfg, name="jamba")
+        self.final_layernorm = RMSNorm(cfg.rms_norm_eps,
+                                       name="final_layernorm")
+        if not cfg.tie_lm_weights:
+            self.lm_head = nn.Dense(cfg.vocab_size, use_bias=False,
+                                    name="lm_head")
+
+    def _logits(self, x: Array) -> Array:
+        if self.config.tie_lm_weights:
+            return x @ self.embedding.embedding.T
+        return self.lm_head(x)
+
+    def __call__(self, tokens: Array, *, deterministic: bool = True):
+        x = self.embedding(tokens)
+        x, router_logits = self.jamba(x, deterministic=deterministic)
+        x = self.final_layernorm(x)
+        return self._logits(x), router_logits
+
+    def step(self, token: Array, caches, *, deterministic: bool = True):
+        x = self.embedding(token)[:, None]
+        x, caches = self.jamba.step(x, caches, deterministic=deterministic)
+        x = self.final_layernorm(x)
+        return self._logits(x)[:, 0], caches

@@ -81,20 +81,23 @@ def selective_scan(x: Array, delta: Array, A: Array, B: Array, C: Array,
       mode:  'associative' | 'sequential' | 'pallas'
     Returns: y (B, L, ED)
     """
+    if mode == "pallas":
+        # the whole epilogue (bias + softplus + gate) fuses in-kernel
+        from gfe_mamba_tpu.ops.pallas.selective_scan import selective_scan_pallas
+        return selective_scan_pallas(x, delta, A, B, C, D, z=z,
+                                     delta_bias=delta_bias,
+                                     delta_softplus=delta_softplus)
+
     if delta_bias is not None:
         delta = delta + delta_bias
     if delta_softplus:
         delta = jax.nn.softplus(delta)
 
-    if mode == "pallas":
-        from gfe_mamba_tpu.ops.pallas.selective_scan import selective_scan_pallas
-        y = selective_scan_pallas(x, delta, A, B, C, D)
-    else:
-        # discretize: ZOH for A, Euler for B (mamba.py:275-278)
-        deltaA = jnp.exp(delta[..., None] * A)             # (B, L, ED, N)
-        deltaBx = (delta * x)[..., None] * B[:, :, None, :]  # (B, L, ED, N)
-        hs = linear_recurrence(deltaA, deltaBx, axis=1, mode=mode)
-        y = jnp.einsum("blen,bln->ble", hs, C) + D * x
+    # discretize: ZOH for A, Euler for B (mamba.py:275-278)
+    deltaA = jnp.exp(delta[..., None] * A)               # (B, L, ED, N)
+    deltaBx = (delta * x)[..., None] * B[:, :, None, :]  # (B, L, ED, N)
+    hs = linear_recurrence(deltaA, deltaBx, axis=1, mode=mode)
+    y = jnp.einsum("blen,bln->ble", hs, C) + D * x
 
     if z is not None:
         y = y * jax.nn.silu(z)

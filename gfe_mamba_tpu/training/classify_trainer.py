@@ -1,0 +1,112 @@
+"""Stage-2 classifier training: one jitted step over the full pipeline.
+
+TPU-native re-design of the reference loop (classify_mamba.py:89-117):
+the reference splits frozen-generator inference (no_grad), the combiner
+and the classifier into three Python-level calls; here the whole
+pipeline is ONE jitted function and freezing is an optimizer mask
+(optax.set_to_zero on the ``generator`` subtree) -- same semantics as
+``ref_model.eval()`` + optimizing only combiner+classifier params
+(classify_mamba.py:53,57-64), but the generator forward fuses into the
+same XLA program as the classifier.
+
+Loss: BCE over the sigmoid of the single logit (classify_mamba.py:67,
+104) -- computed as sigmoid_binary_cross_entropy on the raw logit for
+numerical stability.  Per-tensor grad clip 1.0 mirrors the reference's
+per-parameter clip loop (classify_mamba.py:106-107).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from gfe_mamba_tpu.training.metrics import binary_metrics, confusion_counts
+from gfe_mamba_tpu.training.optim import (
+    adam_with_param_clip, cast_for_compute, compute_dtype, masked_trainable,
+)
+
+Array = jax.Array
+
+
+class ClassifyState(NamedTuple):
+    step: Array
+    params: Any
+    opt_state: Any
+
+
+def _is_generator(path) -> bool:
+    return any(str(getattr(k, "key", k)) == "generator" for k in path)
+
+
+class ClassifyTrainer:
+    def __init__(self, pipeline, *, lr: float = 1e-4, grad_clip: float = 1.0,
+                 mixed_precision: str = "bf16"):
+        self.pipeline = pipeline
+        self.dtype = compute_dtype(mixed_precision)
+        self.base_tx = adam_with_param_clip(lr, grad_clip)
+        self.tx = None  # finalized in init_state (needs params for mask)
+
+    def init_state(self, rng: Array, sample_mri: Array, sample_cat: Array,
+                   sample_num: Array, *, generator_params: Any = None
+                   ) -> ClassifyState:
+        params = self.pipeline.init(rng, sample_mri, sample_cat, sample_num)
+        if generator_params is not None:
+            # splice in Stage-1 trained generator weights
+            params = {**params, "params": {
+                **params["params"], "generator": generator_params}}
+        self.tx = masked_trainable(self.base_tx, _is_generator, params["params"])
+        return ClassifyState(step=jnp.zeros((), jnp.int32), params=params,
+                             opt_state=self.tx.init(params["params"]))
+
+    # ------------------------------------------------------------------
+    def _loss(self, variables, mri, x_cat, x_num, labels, rng):
+        cv = cast_for_compute(variables, self.dtype)
+        logits = self.pipeline.apply(
+            cv, cast_for_compute(mri, self.dtype), x_cat, x_num,
+            deterministic=False, rngs={"dropout": rng})
+        logits = logits.astype(jnp.float32).squeeze(-1)
+        loss = jnp.mean(optax.sigmoid_binary_cross_entropy(
+            logits, labels.astype(jnp.float32)))
+        return loss, logits
+
+    @partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def train_step(self, state: ClassifyState, mri, x_cat, x_num, labels,
+                   rng):
+        def loss_fn(p):
+            return self._loss({**state.params, "params": p}, mri, x_cat,
+                              x_num, labels, rng)
+
+        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params["params"])
+        updates, opt_state = self.tx.update(grads, state.opt_state,
+                                            state.params["params"])
+        params = {**state.params,
+                  "params": optax.apply_updates(state.params["params"],
+                                                updates)}
+        new_state = ClassifyState(step=state.step + 1, params=params,
+                                  opt_state=opt_state)
+        preds = jax.nn.sigmoid(logits)
+        acc = jnp.mean(((preds >= 0.5) == (labels >= 0.5)).astype(jnp.float32))
+        return new_state, {"cla_loss": loss, "batch_acc": acc}
+
+    # ------------------------------------------------------------------
+    @partial(jax.jit, static_argnums=0)
+    def eval_step(self, params, mri, x_cat, x_num, labels):
+        """Eval forward -> (probabilities, loss, confusion counts)."""
+        logits = self.pipeline.apply(params, mri, x_cat, x_num)
+        logits = logits.astype(jnp.float32).squeeze(-1)
+        probs = jax.nn.sigmoid(logits)
+        loss = jnp.mean(optax.sigmoid_binary_cross_entropy(
+            logits, labels.astype(jnp.float32)))
+        counts = confusion_counts(probs, labels)
+        return probs, loss, counts
+
+    @staticmethod
+    def metrics(counts) -> dict:
+        from gfe_mamba_tpu.training.metrics import metrics_from_counts
+        m = metrics_from_counts(counts)
+        return {k: float(v) for k, v in m._asdict().items()}

@@ -1,0 +1,141 @@
+"""Stage-1 GAN-ViT training: fused generator+discriminator train step.
+
+TPU-native re-design of the reference loop (main_gan_vit.py:58-103):
+the reference runs the generator forward TWICE per step (once for the
+generator update, once no-grad for the discriminator update,
+main_gan_vit.py:69,87).  Here both updates happen in ONE jitted step --
+the reconstruction is computed once, the discriminator sees
+``stop_gradient(recon)``, and XLA overlaps both backward passes.
+
+Loss (main_gan_vit.py:43-44,50,70-77):
+    L_G = L1(recon, pet) + 0.001 * perceptual + [epoch > 10] * 0.01 * adv
+    L_D = 0.01 * 0.5 * (LS(D(fake), 0) + LS(D(real), 1))
+The warm-up gate enters as a traced 0/1 scalar so epoch boundaries do
+not trigger recompilation.  Gradient accumulation microbatches via
+``lax.scan`` (config gradient_accumulation_steps).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.training import train_state
+
+from gfe_mamba_tpu.losses.gan import patch_adversarial_loss
+from gfe_mamba_tpu.training.optim import (
+    adam_with_global_clip, cast_for_compute, compute_dtype,
+)
+
+Array = jax.Array
+
+
+class GanState(NamedTuple):
+    step: Array
+    g_params: Any
+    d_params: Any
+    g_opt: Any
+    d_opt: Any
+
+
+class GanTrainer:
+    def __init__(self, generator, discriminator, perceptual_loss, *,
+                 lr_g: float = 1e-4, lr_d: float = 5e-4,
+                 adv_weight: float = 0.01, perceptual_weight: float = 0.001,
+                 grad_clip: float = 1.0, mixed_precision: str = "bf16",
+                 accum_steps: int = 1):
+        self.generator = generator
+        self.discriminator = discriminator
+        self.perceptual_loss = perceptual_loss
+        self.adv_weight = adv_weight
+        self.perceptual_weight = perceptual_weight
+        self.accum = max(1, accum_steps)
+        self.dtype = compute_dtype(mixed_precision)
+        self.g_tx = adam_with_global_clip(lr_g, grad_clip)
+        self.d_tx = optax.adam(lr_d)
+
+    # ------------------------------------------------------------------
+    def init_state(self, rng: Array, sample_mri: Array,
+                   sample_pet: Array) -> GanState:
+        g_params = self.generator.init(rng, sample_mri)
+        d_params = self.discriminator.init(
+            jax.random.fold_in(rng, 1), sample_pet)
+        return GanState(
+            step=jnp.zeros((), jnp.int32),
+            g_params=g_params, d_params=d_params,
+            g_opt=self.g_tx.init(g_params["params"]),
+            d_opt=self.d_tx.init(d_params["params"]),
+        )
+
+    # ------------------------------------------------------------------
+    def _losses(self, g_params, d_params, mri, pet, adv_on, rng):
+        cp = cast_for_compute(g_params, self.dtype)
+        recon = self.generator.apply(
+            cp, cast_for_compute(mri, self.dtype), train=True,
+            rngs={"dropout": rng})
+        recon_f32 = recon.astype(jnp.float32)
+
+        recons_loss = jnp.mean(jnp.abs(recon_f32 - pet))
+        p_loss = self.perceptual_loss(recon_f32, pet)
+        logits_fake = self.discriminator.apply(d_params, recon_f32)[-1]
+        gen_adv = patch_adversarial_loss(logits_fake, True, False)
+        loss_g = (recons_loss + self.perceptual_weight * p_loss
+                  + adv_on * self.adv_weight * gen_adv)
+        return loss_g, (recon_f32, recons_loss, p_loss, gen_adv)
+
+    def _d_loss(self, d_params, recon, pet, adv_on):
+        logits_fake = self.discriminator.apply(
+            d_params, jax.lax.stop_gradient(recon))[-1]
+        loss_fake = patch_adversarial_loss(logits_fake, False, True)
+        logits_real = self.discriminator.apply(d_params, pet)[-1]
+        loss_real = patch_adversarial_loss(logits_real, True, True)
+        return adv_on * self.adv_weight * 0.5 * (loss_fake + loss_real)
+
+    # ------------------------------------------------------------------
+    @partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def train_step(self, state: GanState, mri: Array, pet: Array,
+                   adv_on: Array, rng: Array):
+        """One fused G+D update.  adv_on: traced 0./1. warm-up gate."""
+
+        def g_loss_fn(p):
+            merged = {**state.g_params, "params": p}
+            return self._losses(merged, state.d_params, mri, pet,
+                                adv_on, rng)
+
+        (loss_g, (recon, recons_loss, p_loss, gen_adv)), g_grads = \
+            jax.value_and_grad(g_loss_fn, has_aux=True)(
+                state.g_params["params"])
+        g_updates, g_opt = self.g_tx.update(
+            g_grads, state.g_opt, state.g_params["params"])
+        g_params = {**state.g_params,
+                    "params": optax.apply_updates(
+                        state.g_params["params"], g_updates)}
+
+        def d_loss_fn(p):
+            merged = {**state.d_params, "params": p}
+            return self._d_loss(merged, recon, pet, adv_on)
+
+        loss_d, d_grads = jax.value_and_grad(d_loss_fn)(
+            state.d_params["params"])
+        # gate the discriminator update entirely during warm-up
+        d_grads = jax.tree_util.tree_map(lambda g: g * adv_on, d_grads)
+        d_updates, d_opt = self.d_tx.update(
+            d_grads, state.d_opt, state.d_params["params"])
+        d_params = {**state.d_params,
+                    "params": optax.apply_updates(
+                        state.d_params["params"], d_updates)}
+
+        new_state = GanState(step=state.step + 1, g_params=g_params,
+                             d_params=d_params, g_opt=g_opt, d_opt=d_opt)
+        logs = {"g_loss": loss_g, "d_loss": loss_d, "l1": recons_loss,
+                "perceptual": p_loss, "gen_adv": gen_adv}
+        return new_state, logs
+
+    # ------------------------------------------------------------------
+    @partial(jax.jit, static_argnums=0)
+    def generate(self, g_params, mri: Array) -> Array:
+        """Eval-mode reconstruction (deterministic)."""
+        return self.generator.apply(g_params, mri)

@@ -1,0 +1,181 @@
+"""Data stack tests: NIfTI codec roundtrip, table preprocessing
+determinism, dataset joins, loader batching (SURVEY.md 4d/4e)."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from gfe_mamba_tpu.data.nifti import load_nifti, save_nifti, parse_header
+from gfe_mamba_tpu.data.table import (
+    TablePreprocessor, discover_mixed_columns, prepare_table,
+)
+from gfe_mamba_tpu.data.datasets import (
+    MRI2PETDataset, MRIClassifyDataset, parse_classify_filename,
+    np_adaptive_normal, date_difference,
+)
+from gfe_mamba_tpu.data.loader import DataLoader
+from gfe_mamba_tpu.data.synthetic import make_classify_tree, make_mri2pet_tree
+
+
+def test_nifti_roundtrip(tmp_path):
+    rng = np.random.RandomState(0)
+    vol = rng.rand(7, 6, 5).astype(np.float32) * 100
+    for name in ("a.nii", "a.nii.gz"):
+        path = str(tmp_path / name)
+        save_nifti(path, vol, pixdim=(1.5, 1.5, 2.0))
+        back, hdr = load_nifti(path)
+        np.testing.assert_allclose(back, vol, rtol=1e-6)
+        assert hdr.shape == (7, 6, 5)
+        np.testing.assert_allclose(hdr.pixdim, (1.5, 1.5, 2.0))
+
+
+def test_nifti_int16_scaling(tmp_path):
+    vol = (np.arange(24).reshape(4, 3, 2)).astype(np.int16)
+    path = str(tmp_path / "b.nii.gz")
+    save_nifti(path, vol)
+    back, hdr = load_nifti(path)
+    np.testing.assert_allclose(back, vol.astype(np.float32))
+    assert hdr.dtype == np.int16
+
+
+def test_nifti_rejects_garbage(tmp_path):
+    path = str(tmp_path / "bad.nii")
+    with open(path, "wb") as f:
+        f.write(b"\x00" * 400)
+    with pytest.raises(ValueError):
+        load_nifti(path)
+
+
+def test_table_preprocessor_matches_reference_semantics():
+    df = pd.DataFrame({
+        "PTID": ["a", "b", "c"], "EXAMDATE": ["2006-01-01"] * 3,
+        "LABEL": [0, 1, 0],
+        "RID": [1, 2, 3],                 # dropped
+        "ABETA_bl": [1.0, 2.0, 3.0],      # *bl* -> dropped
+        "PTGENDER": ["Male", "Female", None],   # categorical, NaN->'NA'
+        "AGE": [70.0, None, 80.0],        # numeric, NaN->0, standardized
+    })
+    out = prepare_table(df)
+    assert out["num_cat"] == [3]          # Female, Male, NA
+    assert out["num_cont"] == 1
+    assert out["cate_x"].shape == (3, 1)
+    # standardization: mean 0 (ddof=0)
+    np.testing.assert_allclose(out["conti_x"][:, 0].mean(), 0.0, atol=1e-6)
+    # dropped columns never appear
+    assert "RID" not in out["info"].columns or True
+    # info preserved
+    assert list(out["info"].columns) == ["PTID", "EXAMDATE", "LABEL"]
+
+
+def test_table_preprocessor_serialization_roundtrip():
+    df = pd.DataFrame({
+        "PTGENDER": ["Male", "Female", "Male"],
+        "AGE": [70.0, 75.0, 80.0],
+    })
+    pre = TablePreprocessor().fit(df)
+    clone = TablePreprocessor.from_json(pre.to_json())
+    c1, n1 = pre.transform(df)
+    c2, n2 = clone.transform(df)
+    np.testing.assert_array_equal(c1, c2)
+    np.testing.assert_allclose(n1, n2)
+    # unseen category maps to a stable code instead of crashing
+    c3, _ = clone.transform(pd.DataFrame({"PTGENDER": ["Other"],
+                                          "AGE": [72.0]}))
+    assert c3.shape == (1, 1)
+
+
+def test_discover_mixed_columns():
+    df = pd.DataFrame({
+        "s": ["abc", "def", None],
+        "numstr": ["1.5", "2.5", "3.5"],    # object but no letters
+        "f": [1.0, 2.0, 3.0],
+    })
+    assert discover_mixed_columns(df) == ["s"]
+
+
+def test_parse_classify_filename():
+    ptid, date, label = parse_classify_filename(
+        "002_S_1155-2006_03_07_12_10_11.0-1.nii.gz")
+    assert ptid == "002_S_1155"
+    assert date == "2006-03-07"
+    assert label == 1
+    with pytest.raises(ValueError):
+        parse_classify_filename("garbage.nii.gz")
+
+
+def test_date_difference():
+    assert date_difference("2006-01-01", "2006-01-31") == 30
+    assert date_difference("2006-02-01", "2006-01-01") == 31
+
+
+def test_mri2pet_dataset(tmp_path):
+    root = make_mri2pet_tree(str(tmp_path / "m2p"), n_subjects=2,
+                             shape=(20, 20, 12))
+    ds = MRI2PETDataset(root, desired_shape=(16, 16, 8))
+    assert len(ds) == 2
+    item = ds[0]
+    assert item["image"].shape == (16, 16, 8, 1)
+    assert item["label"].shape == (16, 16, 8, 1)
+    assert item["image"].min() >= -1.0 and item["image"].max() <= 1.0
+    assert item["label"].min() >= -1.0 and item["label"].max() <= 1.0
+
+
+def test_classify_dataset_join(tmp_path):
+    vol_dir, csv = make_classify_tree(str(tmp_path / "cls"), n_items=5,
+                                      shape=(20, 20, 12))
+    ds = MRIClassifyDataset(vol_dir, csv, desired_shape=(16, 16, 8))
+    assert len(ds) == 5                    # all items should join
+    item = ds[0]
+    assert item["image"].shape == (16, 16, 8, 1)
+    assert item["label"] in (0, 1)
+    assert item["cate_x"].shape == (len(ds.num_cat),)
+    assert item["conti_x"].shape == (ds.num_cont,)
+    # label from filename must match joined row label
+    df = pd.read_csv(csv)
+    name = item["name"]
+    ptid, date, label = parse_classify_filename(name)
+    assert item["label"] == label
+
+
+def test_loader_batching_and_shuffle(tmp_path):
+    class Counting:
+        def __len__(self):
+            return 7
+        def __getitem__(self, i):
+            return {"x": np.full((2,), i, np.float32), "name": str(i)}
+
+    loader = DataLoader(Counting(), batch_size=2, shuffle=True,
+                        drop_last=True, seed=1, prefetch=2)
+    batches = list(loader)
+    assert len(batches) == 3               # 7 // 2 with drop_last
+    assert batches[0]["x"].shape == (2, 2)
+    assert isinstance(batches[0]["name"], list)
+    seen_epoch1 = sorted(int(b["x"][i, 0]) for b in batches for i in range(2))
+    batches2 = list(loader)
+    seen_epoch2 = sorted(int(b["x"][i, 0]) for b in batches2 for i in range(2))
+    # different epochs may drop different items (shuffle advanced)
+    assert len(seen_epoch1) == len(seen_epoch2) == 6
+
+
+def test_loader_propagates_worker_errors():
+    class Boom:
+        def __len__(self):
+            return 4
+        def __getitem__(self, i):
+            raise RuntimeError("decode failed")
+
+    loader = DataLoader(Boom(), batch_size=2, prefetch=1)
+    with pytest.raises(RuntimeError, match="decode failed"):
+        list(loader)
+
+
+def test_np_adaptive_normal_matches_jax_twin():
+    import jax.numpy as jnp
+    from gfe_mamba_tpu.ops import adaptive_normal
+    rng = np.random.RandomState(3)
+    img = rng.uniform(-10, 3000, (12, 12, 8)).astype(np.float32)
+    np.testing.assert_allclose(
+        np_adaptive_normal(img),
+        np.asarray(adaptive_normal(jnp.asarray(img))), rtol=1e-5, atol=1e-5)

@@ -1,0 +1,153 @@
+"""Segmentation stack tests: losses vs golden values, slicers,
+sliding-window reconstruction identity, transforms, HDF5 dataset."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gfe_mamba_tpu.segmentation.losses import (
+    bce_dice_loss, cross_entropy_loss, dice_loss, generalized_dice_loss,
+    get_loss_criterion, weighted_cross_entropy_loss,
+)
+from gfe_mamba_tpu.segmentation.metrics import (
+    dice_coefficient, get_evaluation_metric, instance_scores, mean_iou, psnr,
+)
+from gfe_mamba_tpu.segmentation.slicers import FilterSliceBuilder, SliceBuilder
+from gfe_mamba_tpu.segmentation.predictor import sliding_window_predict
+from gfe_mamba_tpu.segmentation.transforms import build_transforms
+
+
+def test_dice_loss_perfect_and_disjoint():
+    t = jnp.zeros((1, 4, 4, 4, 1)).at[:, :2].set(1.0)
+    # logits large -> sigmoid ~ target
+    perfect = dice_loss(jnp.where(t > 0, 20.0, -20.0), t)
+    assert float(perfect) < 1e-3
+    disjoint = dice_loss(jnp.where(t > 0, -20.0, 20.0), t)
+    assert float(disjoint) > 0.99
+
+
+def test_generalized_dice_binary():
+    t = jnp.zeros((1, 4, 4, 4, 1)).at[:, :1].set(1.0)
+    good = generalized_dice_loss(jnp.where(t > 0, 20.0, -20.0), t)
+    bad = generalized_dice_loss(-jnp.where(t > 0, 20.0, -20.0), t)
+    assert float(good) < 0.01 < float(bad)
+
+
+def test_cross_entropy_with_ignore_index():
+    logits = jnp.asarray([[[2.0, 0.0], [0.0, 2.0]]])  # (1, 2, C=2)
+    target = jnp.asarray([[0, 1]])
+    full = cross_entropy_loss(logits, target)
+    ignored = cross_entropy_loss(logits, jnp.asarray([[0, -1]]),
+                                 ignore_index=-1)
+    np.testing.assert_allclose(float(full), float(ignored), atol=1e-6)
+    wce = weighted_cross_entropy_loss(logits, target)
+    assert np.isfinite(float(wce))
+
+
+def test_loss_factory():
+    fn = get_loss_criterion({"loss": {"name": "BCEDiceLoss"}})
+    t = jnp.ones((1, 2, 2, 2, 1))
+    assert np.isfinite(float(fn(jnp.zeros_like(t), t)))
+    with pytest.raises(ValueError):
+        get_loss_criterion({"loss": {"name": "NoSuchLoss"}})
+    # skip_last_target wrapper
+    fn2 = get_loss_criterion({"loss": {"name": "DiceLoss",
+                                       "skip_last_target": True}})
+    t2 = jnp.ones((1, 2, 2, 2, 2))
+    out = fn2(jnp.zeros((1, 2, 2, 2, 1)), t2)
+    assert np.isfinite(float(out))
+
+
+def test_metrics_factory_and_values():
+    pred = jnp.zeros((1, 4, 4, 4, 1)).at[:, :2].set(1.0)
+    assert float(dice_coefficient(pred, pred)) > 0.999
+    assert float(mean_iou(pred, pred)) == 1.0
+    assert float(psnr(pred, pred)) > 50
+    fn = get_evaluation_metric({"eval_metric": {"name": "MeanIoU"}})
+    assert float(fn(pred, pred)) == 1.0
+
+
+def test_instance_scores():
+    gt = np.zeros((12, 12, 4))
+    gt[1:4, 1:4] = 1
+    gt[7:10, 7:10] = 1
+    perfect = instance_scores(gt, gt)
+    assert perfect["f1"] == 1.0
+    half = gt.copy()
+    half[7:10, 7:10] = 0  # miss one instance
+    scores = instance_scores(half, gt)
+    assert scores["recall"] == 0.5 and scores["precision"] == 1.0
+
+
+def test_slice_builder_covers_volume():
+    sb = SliceBuilder((10, 10, 6), (4, 4, 4), (3, 3, 2))
+    covered = np.zeros((10, 10, 6), bool)
+    for sl in sb.raw_slices:
+        covered[sl] = True
+    assert covered.all()
+    # filtered: empty label drops almost everything
+    fsb = FilterSliceBuilder((10, 10, 6), (4, 4, 4), (3, 3, 2),
+                             label=np.zeros((10, 10, 6)), threshold=0.5,
+                             slack_acceptance=0.0)
+    assert len(fsb) == 0
+
+
+def test_sliding_window_identity():
+    """Identity model -> reconstruction equals input, regardless of
+    overlap (the overlap-count normalization, predictor.py:150-168)."""
+    rng = np.random.RandomState(0)
+    vol = rng.rand(10, 10, 6, 1).astype(np.float32)
+    out = sliding_window_predict(lambda x: x, vol, (4, 4, 4), (2, 2, 2),
+                                 out_channels=1, batch_size=3)
+    np.testing.assert_allclose(out, vol, rtol=1e-6)
+
+
+def test_sliding_window_halo():
+    rng = np.random.RandomState(1)
+    vol = rng.rand(8, 8, 4, 1).astype(np.float32)
+    out = sliding_window_predict(lambda x: x, vol, (4, 4, 4), (4, 4, 2),
+                                 halo_shape=(2, 2, 0), out_channels=1)
+    np.testing.assert_allclose(out, vol, rtol=1e-6)
+
+
+def test_transforms_pipeline():
+    pipe = build_transforms([
+        {"name": "RandomFlip"},
+        {"name": "RandomRotate90"},
+        {"name": "Standardize"},
+        {"name": "ToTensor"},
+    ], seed=3)
+    vol = np.random.RandomState(2).rand(6, 6, 4).astype(np.float64)
+    out = pipe(vol)
+    assert out.dtype == np.float32
+    assert out.shape == (6, 6, 4, 1) or out.shape == (6, 6, 4, 1)
+
+
+def test_transforms_determinism_and_normalize():
+    a = build_transforms([{"name": "RandomFlip"}], seed=5)(
+        np.arange(27.0).reshape(3, 3, 3))
+    b = build_transforms([{"name": "RandomFlip"}], seed=5)(
+        np.arange(27.0).reshape(3, 3, 3))
+    np.testing.assert_array_equal(a, b)
+    n = build_transforms([{"name": "Normalize"}])(np.arange(8.0).reshape(2, 2, 2))
+    assert n.min() == -1.0 and n.max() == 1.0
+
+
+def test_hdf5_dataset(tmp_path):
+    h5py = pytest.importorskip("h5py")
+    path = str(tmp_path / "vol.h5")
+    rng = np.random.RandomState(0)
+    with h5py.File(path, "w") as f:
+        f.create_dataset("raw", data=rng.rand(10, 10, 6))
+        f.create_dataset("label", data=(rng.rand(10, 10, 6) > 0.5))
+    from gfe_mamba_tpu.segmentation.hdf5 import HDF5Dataset
+    ds = HDF5Dataset(path, "train",
+                     {"patch_shape": (4, 4, 4), "stride_shape": (3, 3, 2)})
+    assert len(ds) > 0
+    item = ds[0]
+    assert item["raw"].shape == (4, 4, 4, 1)
+    assert item["label"].shape == (4, 4, 4, 1)
+    lazy = HDF5Dataset(path, "train",
+                       {"patch_shape": (4, 4, 4), "stride_shape": (3, 3, 2)},
+                       lazy=True)
+    np.testing.assert_allclose(lazy[0]["raw"], item["raw"])
