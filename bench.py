@@ -47,35 +47,51 @@ def build(small: bool):
         model = build_gfe_mamba(categories=cats, num_continuous=40, dim=512,
                                 depth=6, heads=8, seq_length=4,
                                 f_maps=(64, 128, 256))
-        img_sz, n_cont, batch = (160, 160, 96), 40, 4
+        # batch 4 crashes this environment's remote-compile helper
+        img_sz, n_cont, batch = (160, 160, 96), 40, 2
 
-    rng = np.random.RandomState(0)
-    mri = jnp.asarray(rng.randn(batch, *img_sz, 1), jnp.bfloat16)
-    x_cat = jnp.zeros((batch, len(cats)), jnp.int32)
-    x_num = jnp.asarray(rng.randn(batch, n_cont), jnp.bfloat16)
-
-    params = model.init(jax.random.key(0), mri[:1], x_cat[:1], x_num[:1])
+    params = model.init(
+        jax.random.key(0),
+        jnp.zeros((1,) + img_sz + (1,), jnp.bfloat16),
+        jnp.zeros((1, len(cats)), jnp.int32),
+        jnp.zeros((1, n_cont), jnp.bfloat16))
     params = jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16)
         if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, params)
 
-    fwd = jax.jit(lambda p, m, c, n: model.apply(p, m, c, n,
-                                                 return_pet=True))
-    return fwd, params, (mri, x_cat, x_num), batch
+    @jax.jit
+    def step(params, key):
+        # inputs generated ON DEVICE from the key: every timed call has
+        # distinct arguments (defeats the dev tunnel's result
+        # memoization) and no host<->device transfer enters the timing;
+        # output reduces to one scalar.
+        k1, k2 = jax.random.split(key)
+        mri = jax.random.normal(k1, (batch,) + img_sz + (1,), jnp.bfloat16)
+        x_num = jax.random.normal(k2, (batch, n_cont), jnp.bfloat16)
+        x_cat = jnp.zeros((batch, len(cats)), jnp.int32)
+        logits, pet = model.apply(params, mri, x_cat, x_num, return_pet=True)
+        return (jnp.sum(logits.astype(jnp.float32))
+                + jnp.sum(pet.astype(jnp.float32)))
+
+    return step, params, (), batch
 
 
-def measure(fwd, params, args, batch, warmup: int, iters: int) -> float:
+def measure(step, params, args, batch, warmup: int, iters: int) -> float:
+    """Median per-call wall time over fresh-key executions.  The scalar
+    output is fetched to HOST inside the timed region: on the axon dev
+    tunnel block_until_ready resolves before execution, so only a value
+    fetch proves the work actually ran."""
     import jax
-    out = fwd(params, *args)
-    jax.block_until_ready(out)
-    for _ in range(warmup):
-        jax.block_until_ready(fwd(params, *args))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fwd(params, *args)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-    return batch * iters / dt
+    float(step(params, jax.random.key(0)))
+    for i in range(warmup):
+        float(step(params, jax.random.key(1000 + i)))
+    times = []
+    for i in range(iters):
+        t0 = time.perf_counter()
+        value = float(step(params, jax.random.key(1 + i)))
+        times.append(time.perf_counter() - t0)
+        assert np.isfinite(value)
+    return batch / float(np.median(times))
 
 
 def main():
@@ -85,9 +101,11 @@ def main():
     parser.add_argument("--iters", type=int, default=0)
     args = parser.parse_args()
 
-    if args.cpu_baseline:
-        os.environ.setdefault("JAX_PLATFORMS", "cpu")
     import jax
+    if args.cpu_baseline:
+        # env vars are baked at interpreter startup here (jax preimport
+        # via sitecustomize); config.update is the reliable override
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir",
                       os.path.expanduser("~/.jax_cache"))
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
@@ -99,7 +117,7 @@ def main():
     if args.cpu_baseline:
         # CPU reference throughput at the SAME canonical config
         fwd, params, inputs, batch = build(small=False)
-        iters = args.iters or 2
+        iters = args.iters or 3
         vps = measure(fwd, params, inputs, batch, warmup=0, iters=iters)
         with open(BASELINE_FILE, "w") as f:
             json.dump({"cpu_volumes_per_sec": vps,

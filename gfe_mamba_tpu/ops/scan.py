@@ -81,12 +81,29 @@ def selective_scan(x: Array, delta: Array, A: Array, B: Array, C: Array,
       mode:  'associative' | 'sequential' | 'pallas'
     Returns: y (B, L, ED)
     """
+    # the recurrence runs in f32 regardless of the surrounding compute
+    # dtype -- same policy as the CUDA selective scan, which rejects
+    # (b)float16 states (reference jamba.py:31-33); the big projections
+    # around the scan stay in bf16
+    out_dtype = x.dtype
+    x = x.astype(jnp.float32)
+    delta = delta.astype(jnp.float32)
+    A = A.astype(jnp.float32)
+    B = B.astype(jnp.float32)
+    C = C.astype(jnp.float32)
+    D = D.astype(jnp.float32)
+    if z is not None:
+        z = z.astype(jnp.float32)
+    if delta_bias is not None:
+        delta_bias = delta_bias.astype(jnp.float32)
+
     if mode == "pallas":
         # the whole epilogue (bias + softplus + gate) fuses in-kernel
         from gfe_mamba_tpu.ops.pallas.selective_scan import selective_scan_pallas
         return selective_scan_pallas(x, delta, A, B, C, D, z=z,
                                      delta_bias=delta_bias,
-                                     delta_softplus=delta_softplus)
+                                     delta_softplus=delta_softplus
+                                     ).astype(out_dtype)
 
     if delta_bias is not None:
         delta = delta + delta_bias
@@ -101,7 +118,7 @@ def selective_scan(x: Array, delta: Array, A: Array, B: Array, C: Array,
 
     if z is not None:
         y = y * jax.nn.silu(z)
-    return y
+    return y.astype(out_dtype)
 
 
 def selective_scan_step(h: Array, x: Array, delta: Array, A: Array, B: Array,

@@ -4,7 +4,6 @@ substitute for multi-node CI -- see SURVEY.md section 4f)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -12,6 +11,13 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import jax  # noqa: E402
+
+# Force CPU even though this environment (a) exports JAX_PLATFORMS=axon
+# (the TPU tunnel) and (b) PRE-IMPORTS jax at interpreter startup, which
+# bakes that env var into the config before conftest runs.  config.update
+# still wins as long as no backend has been initialized.  Tests must
+# leave the real chip free and exercise the virtual 8-device CPU mesh.
+jax.config.update("jax_platforms", "cpu")
 
 jax.config.update("jax_default_matmul_precision", "highest")
 # Persistent compile cache: XLA:CPU compiles are several seconds each in
