@@ -39,6 +39,28 @@ class CombineClassifierVitMid(nn.Module):
         return jnp.swapaxes(x, 1, 2)                             # (B,S,2C)
 
 
+class PatchEmbed3D(nn.Module):
+    """3D patch embedder (PatchEmbed/project, classifier.py:18-85):
+    two-stage strided conv (conv+GELU+conv, each with half the patch
+    stride) mapping a volume to a token sequence (B, N, dim)."""
+
+    patch_size: int = 8
+    dim: int = 512
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        import jax
+
+        s = max(self.patch_size // 2, 1)
+        x = nn.Conv(self.dim // 2, (s, s, s), strides=(s, s, s),
+                    name="proj1")(x)
+        x = nn.gelu(x)
+        x = nn.Conv(self.dim, (2, 2, 2) if self.patch_size > 1 else (1, 1, 1),
+                    strides=(2, 2, 2) if self.patch_size > 1 else (1, 1, 1),
+                    name="proj2")(x)
+        return rearrange(x, "b x y z c -> b (x y z) c")
+
+
 class StridedConv(nn.Module):
     """SingleConv with stride (SingleConv_modi, classifier.py:6-14)."""
 

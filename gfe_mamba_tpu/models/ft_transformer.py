@@ -323,6 +323,25 @@ class FTTransformerCrossImg(_TabularCrossBase):
         return LogitsHead(self.dim_out, relu=True, name="to_logits")(x)
 
 
+class FTTransformer(_TabularCrossBase):
+    """Plain FT-Transformer tabular classifier (role of the external
+    tab_transformer_pytorch used by the reference's table-only baselines,
+    table/FT_table.py + FT_table_dataloader.py:7,23-33): embed -> encoder
+    -> CLS -> LN+ReLU+Linear."""
+
+    @nn.compact
+    def __call__(self, x_categ: Array, x_numer: Array, *,
+                 deterministic: bool = True) -> Array:
+        x = TabularEmbedder(self.categories, self.num_continuous, self.dim,
+                            self.num_special_tokens, name="embed")(
+            x_categ, x_numer)
+        x = FTTransformerEncoder(
+            self.depth, self.heads, self.dim_head, self.attn_dropout,
+            self.ff_dropout, name="transformer",
+        )(x, deterministic=deterministic)
+        return LogitsHead(self.dim_out, relu=True, name="to_logits")(x[:, 0])
+
+
 class FTTransformerCross(_TabularCrossBase):
     """Tabular-only tokens with per-layer cross-attention conditioning
     (corss_ft_transformer.py:524-637)."""

@@ -368,6 +368,12 @@ class Decoder(nn.Module):
     upsample: str = "default"
     dropout_prob: float = 0.1
     dims: int = 3
+    # False (default, TPU-fast): asymmetric deconv padding (1,0) emits
+    # exactly 2n samples -- even tile-friendly sizes, no resize.  True:
+    # reproduce the reference's torch workaround exactly (symmetric
+    # padding -> 2n-1 samples -> nearest-resize to the skip's size,
+    # buildingblocks.py:512-531); only the boundary sample differs.
+    exact_reference_upsample: bool = False
 
     @nn.compact
     def __call__(self, encoder_features: Array, x: Array,
@@ -382,11 +388,16 @@ class Decoder(nn.Module):
                     upsample, concat = "deconv", False
             target_spatial = encoder_features.shape[1:-1]
             if upsample == "deconv":
+                if self.exact_reference_upsample:
+                    pad = [(1, 1)] * self.dims
+                else:
+                    # (n-1)*s + k - (1+0) == 2n for k=3, s=2
+                    pad = [(1, 0)] * self.dims
                 x = nn.ConvTranspose(
                     self.out_channels,
                     kernel_size=(self.conv_kernel_size,) * self.dims,
                     strides=(self.scale_factor,) * self.dims,
-                    padding=[(1, 1)] * self.dims,
+                    padding=pad,
                     use_bias=False,
                     name="upsampling",
                 )(x)

@@ -1,0 +1,128 @@
+"""Trainer + checkpoint tests: GAN fused step, classifier masked-freeze
+step, optimizer clip transforms, checkpoint roundtrips, loader sharding."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from gfe_mamba_tpu.losses.perceptual import PerceptualLoss
+from gfe_mamba_tpu.models.discriminator import PatchDiscriminator
+from gfe_mamba_tpu.models.pipeline import build_gfe_mamba
+from gfe_mamba_tpu.models.unet3d import ResidualMidUNet3DViT
+from gfe_mamba_tpu.training.checkpoint import (
+    BestTracker, load_params_npz, save_params_npz,
+)
+from gfe_mamba_tpu.training.classify_trainer import ClassifyTrainer
+from gfe_mamba_tpu.training.gan_trainer import GanTrainer
+from gfe_mamba_tpu.training.optim import clip_by_param_norm, cast_for_compute
+
+TINY_GEN = dict(f_maps=(4, 8, 16), layer_order="cge", fold_factor=2,
+                vit_patch_size=4, vit_dim=16, vit_depth=1, vit_heads=2,
+                vit_mlp_dim=32)
+
+
+def test_clip_by_param_norm():
+    tx = clip_by_param_norm(1.0)
+    grads = {"a": jnp.full((4,), 10.0), "b": jnp.full((2,), 0.1)}
+    updates, _ = tx.update(grads, tx.init(None))
+    # each tensor clipped to norm 1 independently
+    np.testing.assert_allclose(float(jnp.linalg.norm(updates["a"])), 1.0,
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(updates["b"]),
+                               np.asarray(grads["b"]))
+
+
+def test_cast_for_compute():
+    tree = {"w": jnp.ones(3, jnp.float32), "i": jnp.ones(3, jnp.int32)}
+    out = cast_for_compute(tree)
+    assert out["w"].dtype == jnp.bfloat16
+    assert out["i"].dtype == jnp.int32
+
+
+def test_gan_trainer_step_updates_and_warmup_gate():
+    gen = ResidualMidUNet3DViT(1, 1, is_segmentation=False, **TINY_GEN)
+    disc = PatchDiscriminator(num_layers_d=2, num_channels=4)
+    trainer = GanTrainer(gen, disc, PerceptualLoss(fake_3d_ratio=0.5),
+                         mixed_precision="none")
+    rng = jax.random.key(0)
+    mri = jnp.asarray(np.random.RandomState(0).randn(1, 16, 16, 8, 1),
+                      jnp.float32)
+    pet = jnp.asarray(np.random.RandomState(1).randn(1, 16, 16, 8, 1),
+                      jnp.float32)
+    state = trainer.init_state(rng, mri, pet)
+    d0 = jax.tree_util.tree_leaves(state.d_params)[0].copy()
+
+    # warm-up: adv gate 0 -> discriminator must NOT move
+    state1, logs = trainer.train_step(state, mri, pet, jnp.float32(0.0), rng)
+    assert np.isfinite(float(logs["g_loss"]))
+    # train_step donates its input state; materialize before the next call
+    d1 = np.asarray(jax.tree_util.tree_leaves(state1.d_params)[0])
+    np.testing.assert_allclose(np.asarray(d0), d1)
+
+    # post warm-up: both nets move
+    state2, logs2 = trainer.train_step(state1, mri, pet, jnp.float32(1.0),
+                                       rng)
+    d2 = np.asarray(jax.tree_util.tree_leaves(state2.d_params)[0])
+    assert not np.allclose(d1, d2)
+    assert float(logs2["d_loss"]) > 0
+
+
+def test_classify_trainer_freezes_generator():
+    model = build_gfe_mamba(categories=(3, 2), num_continuous=3, dim=32,
+                            depth=1, heads=2, seq_length=2, **TINY_GEN)
+    trainer = ClassifyTrainer(model, mixed_precision="none")
+    rng = jax.random.key(0)
+    mri = jnp.asarray(np.random.RandomState(2).randn(2, 16, 16, 8, 1),
+                      jnp.float32)
+    x_cat = jnp.zeros((2, 2), jnp.int32)
+    x_num = jnp.ones((2, 3), jnp.float32)
+    y = jnp.asarray([0.0, 1.0])
+    state = trainer.init_state(rng, mri, x_cat, x_num)
+    gen_before = jax.tree_util.tree_map(
+        lambda a: a.copy(), state.params["params"]["generator"])
+    cls_before = state.params["params"]["classifier"]["to_logits"][
+        "Dense_0"]["kernel"].copy()
+
+    state, logs = trainer.train_step(state, mri, x_cat, x_num, y, rng)
+    assert np.isfinite(float(logs["cla_loss"]))
+    # generator frozen
+    for a, b in zip(jax.tree_util.tree_leaves(gen_before),
+                    jax.tree_util.tree_leaves(
+                        state.params["params"]["generator"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    # classifier trained
+    assert not np.allclose(
+        np.asarray(cls_before),
+        np.asarray(state.params["params"]["classifier"]["to_logits"][
+            "Dense_0"]["kernel"]))
+
+    # eval step produces probabilities + counts
+    probs, loss, counts = trainer.eval_step(state.params, mri, x_cat,
+                                            x_num, y)
+    assert probs.shape == (2,)
+    assert float(counts.tp + counts.fp + counts.tn + counts.fn) == 2.0
+
+
+def test_params_npz_roundtrip(tmp_path):
+    params = {"layer": {"kernel": jnp.arange(6.0).reshape(2, 3),
+                        "bias": jnp.ones(3)}}
+    path = str(tmp_path / "w.npz")
+    save_params_npz(path, params)
+    like = jax.tree_util.tree_map(jnp.zeros_like, params)
+    restored = load_params_npz(path, like)
+    np.testing.assert_allclose(np.asarray(restored["layer"]["kernel"]),
+                               np.asarray(params["layer"]["kernel"]))
+    # shape mismatch rejected
+    bad = {"layer": {"kernel": jnp.zeros((3, 2)), "bias": jnp.ones(3)}}
+    with pytest.raises(ValueError):
+        load_params_npz(path, bad)
+
+
+def test_best_tracker():
+    t = BestTracker()
+    assert t.is_better(80.0, 0.5)
+    assert not t.is_better(79.0, 0.1)
+    assert t.is_better(80.0, 0.4)   # tie on acc, better loss
+    assert t.is_better(81.0, 0.9)
