@@ -122,6 +122,10 @@ def main(args):
     best = BestTracker()
     global_step = 0
     num_epochs = cf["num_epochs"]
+    # non-finite steps are skipped in-jit (trainer guard); the strike
+    # counter aborts a run that produces nothing but NaNs
+    from gfe_mamba_tpu.training.resilience import StrikeCounter
+    strikes = StrikeCounter(max_strikes=10)
     for epoch in range(num_epochs):
         for batch in train_loader:
             sb = shard_batch(batch, mesh)
@@ -131,6 +135,7 @@ def main(args):
                 sb["label"], step_rng)
             if global_step % cf.get("log_every", 10) == 0:
                 logs = {k: float(v) for k, v in logs.items()}
+                strikes.update(logs.pop("skipped", 0.0))
                 exp.log_scalars(logs, global_step)
                 print(f"epoch {epoch + 1}: " +
                       " ".join(f"{k}={v:.4f}" for k, v in logs.items()))

@@ -349,3 +349,32 @@ class JambaLM(nn.Module):
         x, caches = self.jamba.step(x, caches, deterministic=deterministic)
         x = self.final_layernorm(x)
         return self._logits(x)[:, 0], caches
+
+
+def generate(model: "JambaLM", params, prompt: Array, num_tokens: int,
+             rng: Array, *, temperature: float = 1.0,
+             top_k: int | None = None) -> Array:
+    """Autoregressive sampling loop (JambaLM.generate, jamba.py:195-243):
+    prefill token-by-token through the cache, then sample
+    ``num_tokens`` continuations with temperature / top-k."""
+    bsz, prompt_len = prompt.shape
+    caches = Jamba(model.config).init_cache(batch=bsz)
+
+    logits = None
+    for t in range(prompt_len):
+        logits, caches = model.apply(params, prompt[:, t], caches,
+                                     method=JambaLM.step)
+
+    tokens = [prompt]
+    current = None
+    for _ in range(num_tokens):
+        scaled = logits / max(temperature, 1e-6)
+        if top_k is not None:
+            kth = jax.lax.top_k(scaled, top_k)[0][:, -1:]
+            scaled = jnp.where(scaled < kth, -jnp.inf, scaled)
+        rng, sub = jax.random.split(rng)
+        current = jax.random.categorical(sub, scaled, axis=-1)
+        tokens.append(current[:, None])
+        logits, caches = model.apply(params, current, caches,
+                                     method=JambaLM.step)
+    return jnp.concatenate(tokens, axis=1)

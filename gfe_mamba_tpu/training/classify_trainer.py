@@ -87,11 +87,29 @@ class ClassifyTrainer:
         params = {**state.params,
                   "params": optax.apply_updates(state.params["params"],
                                                 updates)}
+        # in-jit finite guard (SURVEY.md 5.3 -- the reference silently
+        # trains on NaNs): a non-finite loss/grad step keeps the old
+        # state; works under donation because the select happens inside
+        # the traced function
+        grads_finite = jnp.stack(
+            [jnp.all(jnp.isfinite(g))
+             for g in jax.tree_util.tree_leaves(grads)]).all()
+        ok = jnp.isfinite(loss) & grads_finite
+
+        def pick(new, old):
+            if hasattr(new, "dtype") and jnp.issubdtype(new.dtype,
+                                                        jnp.inexact):
+                return jnp.where(ok, new, old)
+            return new
+
+        params = jax.tree_util.tree_map(pick, params, state.params)
+        opt_state = jax.tree_util.tree_map(pick, opt_state, state.opt_state)
         new_state = ClassifyState(step=state.step + 1, params=params,
                                   opt_state=opt_state)
         preds = jax.nn.sigmoid(logits)
         acc = jnp.mean(((preds >= 0.5) == (labels >= 0.5)).astype(jnp.float32))
-        return new_state, {"cla_loss": loss, "batch_acc": acc}
+        return new_state, {"cla_loss": loss, "batch_acc": acc,
+                           "skipped": jnp.logical_not(ok).astype(jnp.float32)}
 
     # ------------------------------------------------------------------
     @partial(jax.jit, static_argnums=0)

@@ -77,3 +77,13 @@ def test_dino_pieces():
     student = {"w": jnp.zeros(3)}
     updated = ema_update(teacher, student, momentum=0.9)
     np.testing.assert_allclose(np.asarray(updated["w"]), 0.9)
+
+
+def test_mvcsnet_forward():
+    from gfe_mamba_tpu.models.mvcs import MVCSNet
+    m = MVCSNet(num_classes=1, base_channel=4, num_head=(2, 2, 2, 2))
+    x = jnp.ones((1, 16, 16, 8, 1))
+    params = m.init(jax.random.key(0), x)
+    y = m.apply(params, x)
+    assert y.shape == (1, 1)
+    assert np.isfinite(float(y[0, 0]))

@@ -126,3 +126,37 @@ def test_best_tracker():
     assert not t.is_better(79.0, 0.1)
     assert t.is_better(80.0, 0.4)   # tie on acc, better loss
     assert t.is_better(81.0, 0.9)
+
+
+def test_finite_guard_skips_bad_steps():
+    from gfe_mamba_tpu.training.resilience import finite_guard
+
+    def step(state, x):
+        loss = jnp.sum(state["w"] * x)
+        return {"w": state["w"] + x}, {"cla_loss": loss}
+
+    guarded, strikes = finite_guard(step, max_strikes=2)
+    state = {"w": jnp.ones(3)}
+    state, logs = guarded(state, jnp.ones(3))
+    assert float(logs["skipped"]) == 0.0
+    np.testing.assert_allclose(np.asarray(state["w"]), 2.0)
+    # a NaN batch must leave the state untouched
+    state, logs = guarded(state, jnp.asarray([jnp.nan, 1.0, 1.0]))
+    assert float(logs["skipped"]) == 1.0
+    np.testing.assert_allclose(np.asarray(state["w"]), 2.0)
+    strikes.update(1.0)
+    with pytest.raises(FloatingPointError):
+        strikes.update(1.0)
+
+
+def test_auto_resume_roundtrip(tmp_path):
+    from gfe_mamba_tpu.training.resilience import AutoResume
+    ar = AutoResume(str(tmp_path), interval=10, keep=2)
+    state = {"w": jnp.arange(4.0)}
+    assert not ar.maybe_save(5, state)
+    assert ar.maybe_save(10, state)
+    assert ar.maybe_save(20, {"w": jnp.arange(4.0) * 2})
+    step, restored = ar.restore_latest(like=state)
+    assert step == 20
+    np.testing.assert_allclose(np.asarray(restored["w"]),
+                               np.arange(4.0) * 2)
