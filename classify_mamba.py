@@ -106,8 +106,15 @@ def main(args):
     state = trainer.init_state(rng, sample_mri, sample_cat, sample_num)
 
     if cf.get("gan_ckpt"):
-        gen_params = load_params_npz(cf["gan_ckpt"],
-                                     state.params["params"]["generator"])
+        like = state.params["params"]["generator"]
+        if cf["gan_ckpt"].endswith((".pt", ".pth")):
+            # reference torch checkpoint (main_gan_vit.py:131-134)
+            from gfe_mamba_tpu.utils.torch_import import (
+                import_generator, load_torch_state_dict)
+            gen_params = import_generator(
+                load_torch_state_dict(cf["gan_ckpt"]), like)
+        else:
+            gen_params = load_params_npz(cf["gan_ckpt"], like)
         state = state._replace(params={**state.params, "params": {
             **state.params["params"], "generator": gen_params}})
         print(f"loaded Stage-1 generator from {cf['gan_ckpt']}")

@@ -70,6 +70,12 @@ def build_gfe_mamba(*, categories: Sequence[int], num_continuous: int,
         classifier = CrossMambaBoth(**cls_kwargs)
     elif mixer == "jamba":
         classifier = CrossJambaBoth(**cls_kwargs)
+    elif mixer == "transformer":
+        # transformer-mixer twin (Cross_transformer_both; the legacy
+        # classify_cross_atten.py entry's model)
+        from gfe_mamba_tpu.models.ft_transformer import CrossTransformerBoth
+        cls_kwargs.pop("scan_mode")
+        classifier = CrossTransformerBoth(**cls_kwargs)
     else:
         raise ValueError(f"unknown mixer {mixer!r}")
     return GFEMamba(generator=generator, combiner=combiner,

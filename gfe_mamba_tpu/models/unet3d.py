@@ -73,6 +73,7 @@ class UNet(nn.Module):
     upsample: str = "default"
     dropout_prob: float = 0.1
     dims: int = 3
+    exact_reference_upsample: bool = False
     mid: str = "none"
     # ViT bottleneck settings (reference model.py:107-117)
     fold_factor: int = 8
@@ -100,6 +101,7 @@ class UNet(nn.Module):
             self.f_maps, self.basic_module, self.conv_kernel_size,
             self.conv_padding, self.layer_order, self.num_groups,
             self.upsample, self.dropout_prob, self.dims,
+            exact_reference_upsample=self.exact_reference_upsample,
         )
 
         encoders_features: list[Array] = []

@@ -91,7 +91,9 @@ class SingleConv(nn.Module):
                 assert num_channels % groups == 0, (
                     f"channels {num_channels} not divisible by groups {groups}"
                 )
-                x = nn.GroupNorm(num_groups=groups, name=f"groupnorm_{i}")(x)
+                # torch GroupNorm eps (1e-5; flax defaults to 1e-6)
+                x = nn.GroupNorm(num_groups=groups, epsilon=1e-5,
+                                 name=f"groupnorm_{i}")(x)
             elif char == "b":
                 x = nn.BatchNorm(
                     use_running_average=deterministic, name=f"batchnorm_{i}"
@@ -339,10 +341,25 @@ class Encoder(nn.Module):
 
 
 def _interpolate_to(x: Array, spatial: Sequence[int], method: str) -> Array:
-    """Resize channels-last ``x`` to target spatial dims."""
+    """Resize channels-last ``x`` to target spatial dims.
+
+    'nearest' uses the torch F.interpolate convention
+    (idx = floor(i * in/out)) -- jax.image.resize picks different
+    samples, which breaks parity with reference checkpoints."""
     target = (x.shape[0],) + tuple(spatial) + (x.shape[-1],)
     if tuple(x.shape) == target:
         return x
+    if method == "nearest":
+        out = x
+        for axis, size in enumerate(spatial):
+            n = out.shape[axis + 1]
+            if n == size:
+                continue
+            idx = jnp.floor(
+                jnp.arange(size, dtype=jnp.float32) * (n / size)
+            ).astype(jnp.int32)
+            out = jnp.take(out, idx, axis=axis + 1)
+        return out
     return jax.image.resize(x, target, method=method)
 
 
@@ -452,7 +469,9 @@ def make_encoder_stack(f_maps: Sequence[int], basic_module: str,
 def make_decoder_stack(f_maps: Sequence[int], basic_module: str,
                        conv_kernel_size: int, conv_padding: int,
                        layer_order: str, num_groups: int, upsample: str,
-                       dropout_prob, dims: int) -> list[Decoder]:
+                       dropout_prob, dims: int,
+                       exact_reference_upsample: bool = False
+                       ) -> list[Decoder]:
     """Mirror of reference create_decoders (buildingblocks.py:438-461)."""
     decoders = []
     reversed_f_maps = list(reversed(f_maps))
@@ -467,6 +486,7 @@ def make_decoder_stack(f_maps: Sequence[int], basic_module: str,
             upsample=upsample,
             dropout_prob=dropout_prob,
             dims=dims,
+            exact_reference_upsample=exact_reference_upsample,
             name=f"decoder_{i}",
         ))
     return decoders

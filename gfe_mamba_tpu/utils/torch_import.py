@@ -1,0 +1,200 @@
+"""Import reference (torch) checkpoints into the flax generator.
+
+Maps a ``Residual_mid_UNet3D_vit`` state_dict (the Stage-1 GAN
+checkpoint the reference saves at main_gan_vit.py:131-134) onto this
+framework's ``ResidualMidUNet3DViT`` parameter tree, so users can bring
+trained reference weights across without retraining:
+
+* Conv3d        (O, I, kx, ky, kz) -> kernel (kx, ky, kz, I, O)
+* ConvTranspose3d (I, O, kx, ky, kz) -> kernel (kx, ky, kz, I, O),
+  spatially flipped (torch's transposed conv correlates with the
+  flipped kernel relative to lax.conv_transpose)
+* Linear        (O, I) -> kernel (I, O)
+* LayerNorm / GroupNorm weight/bias -> scale/bias
+
+Build the flax model with ``exact_reference_upsample=True`` for
+numerical parity (the default decoder uses even-size deconv padding).
+The dead ``mid_linear`` layer (model.py:119) is ignored.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Mapping
+
+import numpy as np
+
+
+def _conv(w):
+    return np.transpose(w, (2, 3, 4, 1, 0))
+
+
+def _deconv(w):
+    # (I, O, kx, ky, kz) -> flip spatial -> (kx, ky, kz, I, O)
+    return np.transpose(w[:, :, ::-1, ::-1, ::-1], (2, 3, 4, 0, 1)).copy()
+
+
+def _linear(w):
+    return np.transpose(w)
+
+
+def load_torch_state_dict(path: str) -> dict[str, np.ndarray]:
+    import torch
+    state = torch.load(path, map_location="cpu")
+    if hasattr(state, "state_dict"):
+        state = state.state_dict()
+    return {k: v.detach().numpy() for k, v in state.items()}
+
+
+def build_generator_mapping(state_dict: Mapping[str, np.ndarray]) -> dict:
+    """state_dict key -> (flax param path, transform)."""
+    mapping: dict = {}
+
+    # encoder / decoder ResNetBlocks
+    for key in state_dict:
+        m = re.match(r"(encoders|decoders)\.(\d+)\.basic_module\.(.*)", key)
+        if not m:
+            continue
+        stack = "encoder" if m.group(1) == "encoders" else "decoder"
+        idx = int(m.group(2))
+        rest = m.group(3)
+        base = [f"{stack}_{idx}", "basic_module"]
+        if rest == "conv1.weight":
+            mapping[key] = (base + ["conv1", "kernel"], _conv)
+        elif rest == "conv1.bias":
+            mapping[key] = (base + ["conv1", "bias"], None)
+        elif rest.startswith("conv2.") or rest.startswith("conv3."):
+            sub = rest.split(".")[0]
+            inner = rest.split(".", 1)[1]
+            if inner == "conv.weight":
+                mapping[key] = (base + [sub, "conv", "kernel"], _conv)
+            elif inner == "groupnorm.weight":
+                # the groupnorm's index suffix depends on the order
+                # string ('gcr' -> groupnorm_0, 'cge' -> groupnorm_1);
+                # resolved against the target tree at fill time
+                mapping[key] = (base + [sub, "groupnorm_*", "scale"], None)
+            elif inner == "groupnorm.bias":
+                mapping[key] = (base + [sub, "groupnorm_*", "bias"], None)
+
+    # decoder transposed convs
+    for key in state_dict:
+        m = re.match(
+            r"decoders\.(\d+)\.upsampling\.upsample\.conv_transposed\.weight",
+            key)
+        if m:
+            mapping[key] = (
+                [f"decoder_{m.group(1)}", "upsampling", "kernel"], _deconv)
+
+    # final conv
+    mapping["final_conv.weight"] = (["final_conv", "kernel"], _conv)
+    mapping["final_conv.bias"] = (["final_conv", "bias"], None)
+
+    # ViT bottleneck (model.py:107-117, vit.py:83-137)
+    vit = {
+        "mid.cls_token": (["mid", "cls_token"], None),
+        "mid.pos_embedding": (["mid", "pos_embedding"], None),
+        "mid.to_patch_embedding.1.weight": (["mid", "patch_norm_in", "scale"], None),
+        "mid.to_patch_embedding.1.bias": (["mid", "patch_norm_in", "bias"], None),
+        "mid.to_patch_embedding.2.weight": (["mid", "patch_embed", "kernel"], _linear),
+        "mid.to_patch_embedding.2.bias": (["mid", "patch_embed", "bias"], None),
+        "mid.to_patch_embedding.3.weight": (["mid", "patch_norm_out", "scale"], None),
+        "mid.to_patch_embedding.3.bias": (["mid", "patch_norm_out", "bias"], None),
+        "mid.transformer.norm.weight": (["mid", "transformer", "norm", "scale"], None),
+        "mid.transformer.norm.bias": (["mid", "transformer", "norm", "bias"], None),
+        "mid.from_patch_embedding.0.weight": (["mid", "out_norm_tokens", "scale"], None),
+        "mid.from_patch_embedding.0.bias": (["mid", "out_norm_tokens", "bias"], None),
+        "mid.from_patch_embedding.2.weight": (["mid", "token_mix", "kernel"], _linear),
+        "mid.from_patch_embedding.2.bias": (["mid", "token_mix", "bias"], None),
+        "mid.from_patch_embedding.4.weight": (["mid", "patch_unembed", "kernel"], _linear),
+        "mid.from_patch_embedding.4.bias": (["mid", "patch_unembed", "bias"], None),
+        "mid.from_patch_embedding.5.weight": (["mid", "out_norm_patch", "scale"], None),
+        "mid.from_patch_embedding.5.bias": (["mid", "out_norm_patch", "bias"], None),
+    }
+    mapping.update({k: v for k, v in vit.items() if k in state_dict})
+
+    for key in state_dict:
+        m = re.match(r"mid\.transformer\.layers\.(\d+)\.([01])\.(.*)", key)
+        if not m:
+            continue
+        i, which, rest = int(m.group(1)), m.group(2), m.group(3)
+        if which == "0":  # attention
+            base = ["mid", "transformer", f"attn_{i}"]
+            table = {
+                "norm.weight": (base + ["norm", "scale"], None),
+                "norm.bias": (base + ["norm", "bias"], None),
+                "to_qkv.weight": (base + ["to_qkv", "kernel"], _linear),
+                "to_out.0.weight": (base + ["to_out", "kernel"], _linear),
+                "to_out.0.bias": (base + ["to_out", "bias"], None),
+            }
+        else:  # feedforward: net.0 LN, net.1 Dense, net.4 Dense
+            base = ["mid", "transformer", f"ff_{i}"]
+            table = {
+                "net.0.weight": (base + ["LayerNorm_0", "scale"], None),
+                "net.0.bias": (base + ["LayerNorm_0", "bias"], None),
+                "net.1.weight": (base + ["Dense_0", "kernel"], _linear),
+                "net.1.bias": (base + ["Dense_0", "bias"], None),
+                "net.4.weight": (base + ["Dense_1", "kernel"], _linear),
+                "net.4.bias": (base + ["Dense_1", "bias"], None),
+            }
+        if rest in table:
+            mapping[key] = table[rest]
+    return mapping
+
+
+def import_generator(state_dict: Mapping[str, np.ndarray],
+                     params_like: Any) -> Any:
+    """Convert a reference generator state_dict into a params tree
+    shaped like ``params_like`` (the flax model's ['params'] subtree).
+
+    Raises on any missing/mismatched parameter so silent partial imports
+    cannot happen."""
+    import jax
+
+    mapping = build_generator_mapping(state_dict)
+    out = _tree_to_dict(params_like)
+
+    filled = set()
+    for torch_key, (path, transform) in mapping.items():
+        if torch_key not in state_dict:
+            raise KeyError(f"state_dict missing {torch_key}")
+        value = np.asarray(state_dict[torch_key])
+        if transform is not None:
+            value = transform(value)
+        node = out
+        resolved = []
+        for part in path[:-1]:
+            if part.endswith("*"):
+                prefix = part[:-1]
+                candidates = [k for k in node if k.startswith(prefix)]
+                if len(candidates) != 1:
+                    raise KeyError(
+                        f"cannot resolve {part!r} under "
+                        f"{'/'.join(resolved)}: {candidates}")
+                part = candidates[0]
+            node = node[part]
+            resolved.append(part)
+        path = resolved + [path[-1]]
+        want = np.shape(node[path[-1]])
+        if tuple(value.shape) != tuple(want):
+            raise ValueError(
+                f"{torch_key} -> {'/'.join(path)}: shape {value.shape} "
+                f"!= expected {want}")
+        node[path[-1]] = value.astype(np.float32)
+        filled.add("/".join(path))
+
+    # every flax param must have been filled
+    missing = []
+    for keypath, leaf in jax.tree_util.tree_leaves_with_path(params_like):
+        name = "/".join(str(getattr(k, "key", k)) for k in keypath)
+        if name not in filled:
+            missing.append(name)
+    if missing:
+        raise KeyError(f"unmapped flax params: {missing[:8]}"
+                       + ("..." if len(missing) > 8 else ""))
+    return out
+
+
+def _tree_to_dict(tree):
+    if isinstance(tree, Mapping):
+        return {k: _tree_to_dict(v) for k, v in tree.items()}
+    return tree

@@ -67,8 +67,14 @@ def main(args):
 
     inner = dict(params["params"])
     if cf.get("gan_ckpt"):
-        inner["generator"] = load_params_npz(cf["gan_ckpt"],
-                                             inner["generator"])
+        if cf["gan_ckpt"].endswith((".pt", ".pth")):
+            from gfe_mamba_tpu.utils.torch_import import (
+                import_generator, load_torch_state_dict)
+            inner["generator"] = import_generator(
+                load_torch_state_dict(cf["gan_ckpt"]), inner["generator"])
+        else:
+            inner["generator"] = load_params_npz(cf["gan_ckpt"],
+                                                 inner["generator"])
     if cf.get("pth_dir"):
         prefix = "best_" if cf.get("use_best", False) else ""
         suffix = "" if cf.get("use_best", False) else "_current"
