@@ -198,3 +198,120 @@ def _tree_to_dict(tree):
     if isinstance(tree, Mapping):
         return {k: _tree_to_dict(v) for k, v in tree.items()}
     return tree
+
+
+def _conv1d_depthwise(w):
+    # torch depthwise Conv1d (ED, 1, k) -> flax (k, 1, ED)
+    return np.transpose(w, (2, 1, 0))
+
+
+def build_classifier_mapping(state_dict: Mapping[str, np.ndarray]) -> dict:
+    """Cross_mamba_both state_dict -> CrossMambaBoth param paths
+    (mamba_transformer.py:11-133 + mamba.py module tree)."""
+    mapping: dict = {
+        "cls_token": (["embed", "cls_token"], None),
+        "categorical_embeds.weight": (
+            ["embed", "categorical_embeds", "embedding"], None),
+        "numerical_embedder.weights": (
+            ["embed", "numerical_embedder", "weights"], None),
+        "numerical_embedder.biases": (
+            ["embed", "numerical_embedder", "biases"], None),
+        "to_logits.0.weight": (["to_logits", "LayerNorm_0", "scale"], None),
+        "to_logits.0.bias": (["to_logits", "LayerNorm_0", "bias"], None),
+        "to_logits.1.weight": (["to_logits", "Dense_0", "kernel"], _linear),
+        "to_logits.1.bias": (["to_logits", "Dense_0", "bias"], None),
+        "final_feed.0.weight": (["final_feed", "LayerNorm_0", "scale"], None),
+        "final_feed.0.bias": (["final_feed", "LayerNorm_0", "bias"], None),
+        "final_feed.1.weight": (["final_feed", "Dense_0", "kernel"], _linear),
+        "final_feed.1.bias": (["final_feed", "Dense_0", "bias"], None),
+        "final_feed.4.weight": (["final_feed", "Dense_1", "kernel"], _linear),
+        "final_feed.4.bias": (["final_feed", "Dense_1", "bias"], None),
+    }
+    for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+        mapping[f"final_cross.{proj}.weight"] = (
+            ["final_cross", proj, "kernel"], _linear)
+        mapping[f"final_cross.{proj}.bias"] = (
+            ["final_cross", proj, "bias"], None)
+
+    for key in state_dict:
+        m = re.match(r"transformer\.layers\.(\d+)\.(mixer|norm)\.(.*)", key)
+        if not m:
+            continue
+        i, part, rest = int(m.group(1)), m.group(2), m.group(3)
+        base = ["transformer", f"layer_{i}"]
+        if part == "norm" and rest == "weight":
+            mapping[key] = (base + ["norm", "weight"], None)
+            continue
+        base = base + ["mixer"]
+        table = {
+            "A_log": (base + ["A_log"], None),
+            "D": (base + ["D"], None),
+            "in_proj.weight": (base + ["in_proj", "kernel"], _linear),
+            "in_proj.bias": (base + ["in_proj", "bias"], None),
+            "conv1d.weight": (base + ["conv1d", "kernel"], _conv1d_depthwise),
+            "conv1d.bias": (base + ["conv1d", "bias"], None),
+            "x_proj.weight": (base + ["x_proj", "kernel"], _linear),
+            "dt_proj.weight": (base + ["dt_proj_kernel"], _linear),
+            "dt_proj.bias": (base + ["dt_proj_bias"], None),
+            "out_proj.weight": (base + ["out_proj", "kernel"], _linear),
+            "out_proj.bias": (base + ["out_proj", "bias"], None),
+        }
+        if rest in table:
+            mapping[key] = table[rest]
+    return mapping
+
+
+def build_combiner_mapping(state_dict: Mapping[str, np.ndarray]) -> dict:
+    """Combine_classfier_vit_mid (classifier.py:324-333)."""
+    return {
+        "vit_mid_linear.weight": (["vit_mid_linear", "kernel"], _linear),
+        "vit_mid_linear.bias": (["vit_mid_linear", "bias"], None),
+    }
+
+
+def _import_with_mapping(state_dict, params_like, mapping,
+                         ignore: tuple = ()) -> Any:
+    import jax
+
+    out = _tree_to_dict(params_like)
+    filled = set()
+    for torch_key, (path, transform) in mapping.items():
+        if torch_key not in state_dict:
+            raise KeyError(f"state_dict missing {torch_key}")
+        value = np.asarray(state_dict[torch_key])
+        if transform is not None:
+            value = transform(value)
+        node = out
+        for part in path[:-1]:
+            node = node[part]
+        want = np.shape(node[path[-1]])
+        if tuple(value.shape) != tuple(want):
+            raise ValueError(
+                f"{torch_key} -> {'/'.join(path)}: shape {value.shape} "
+                f"!= expected {want}")
+        node[path[-1]] = value.astype(np.float32)
+        filled.add("/".join(path))
+
+    missing = []
+    for keypath, _ in jax.tree_util.tree_leaves_with_path(params_like):
+        name = "/".join(str(getattr(k, "key", k)) for k in keypath)
+        if name not in filled and not name.startswith(ignore):
+            missing.append(name)
+    if missing:
+        raise KeyError(f"unmapped flax params: {missing[:8]}"
+                       + ("..." if len(missing) > 8 else ""))
+    return out
+
+
+def import_classifier(state_dict: Mapping[str, np.ndarray],
+                      params_like: Any) -> Any:
+    """Cross_mamba_both checkpoint -> CrossMambaBoth params."""
+    return _import_with_mapping(state_dict, params_like,
+                                build_classifier_mapping(state_dict))
+
+
+def import_combiner(state_dict: Mapping[str, np.ndarray],
+                    params_like: Any) -> Any:
+    """Combine_classfier_vit_mid checkpoint -> CombineClassifierVitMid."""
+    return _import_with_mapping(state_dict, params_like,
+                                build_combiner_mapping(state_dict))
