@@ -17,3 +17,8 @@ from gfe_mamba_tpu.ops.volumetric import (
     resize_volume,
     crop_foreground,
 )
+from gfe_mamba_tpu.ops.scan import (
+    linear_recurrence,
+    selective_scan,
+    selective_scan_step,
+)

@@ -98,16 +98,54 @@ class GanTrainer:
     @partial(jax.jit, static_argnums=0, donate_argnums=1)
     def train_step(self, state: GanState, mri: Array, pet: Array,
                    adv_on: Array, rng: Array):
-        """One fused G+D update.  adv_on: traced 0./1. warm-up gate."""
+        """One fused G+D update.  adv_on: traced 0./1. warm-up gate.
 
-        def g_loss_fn(p):
+        Gradient accumulation (config gradient_accumulation_steps):
+        the batch splits into ``accum`` microbatches scanned
+        sequentially with grad averaging -- one optimizer update per
+        call, constant activation memory (main_gan_vit.py:68 semantics).
+        """
+
+        def g_loss_fn(p, mri_mb, pet_mb, mb_rng):
             merged = {**state.g_params, "params": p}
-            return self._losses(merged, state.d_params, mri, pet,
-                                adv_on, rng)
+            return self._losses(merged, state.d_params, mri_mb, pet_mb,
+                                adv_on, mb_rng)
 
-        (loss_g, (recon, recons_loss, p_loss, gen_adv)), g_grads = \
-            jax.value_and_grad(g_loss_fn, has_aux=True)(
-                state.g_params["params"])
+        if self.accum > 1:
+            bsz = mri.shape[0]
+            assert bsz % self.accum == 0, (bsz, self.accum)
+            mb = bsz // self.accum
+            mri_mb = mri.reshape((self.accum, mb) + mri.shape[1:])
+            pet_mb = pet.reshape((self.accum, mb) + pet.shape[1:])
+            rngs = jax.random.split(rng, self.accum)
+
+            def micro(carry, inp):
+                grads_acc, aux_acc = carry
+                x, y, r = inp
+                (loss, aux), grads = jax.value_and_grad(
+                    g_loss_fn, has_aux=True)(
+                    state.g_params["params"], x, y, r)
+                grads_acc = jax.tree_util.tree_map(
+                    lambda a, g: a + g / self.accum, grads_acc, grads)
+                recon, l1, pl_, adv = aux
+                aux_acc = (recon,  # last microbatch recon feeds D
+                           aux_acc[1] + l1 / self.accum,
+                           aux_acc[2] + pl_ / self.accum,
+                           aux_acc[3] + adv / self.accum,
+                           aux_acc[4] + loss / self.accum)
+                return (grads_acc, aux_acc), None
+
+            zero_grads = jax.tree_util.tree_map(
+                jnp.zeros_like, state.g_params["params"])
+            init_aux = (jnp.zeros_like(pet_mb[0]), 0.0, 0.0, 0.0, 0.0)
+            (g_grads, aux_acc), _ = jax.lax.scan(
+                micro, (zero_grads, init_aux), (mri_mb, pet_mb, rngs))
+            recon, recons_loss, p_loss, gen_adv, loss_g = aux_acc
+            pet = pet_mb[-1]  # discriminator sees the last microbatch
+        else:
+            (loss_g, (recon, recons_loss, p_loss, gen_adv)), g_grads = \
+                jax.value_and_grad(g_loss_fn, has_aux=True)(
+                    state.g_params["params"], mri, pet, rng)
         g_updates, g_opt = self.g_tx.update(
             g_grads, state.g_opt, state.g_params["params"])
         g_params = {**state.g_params,

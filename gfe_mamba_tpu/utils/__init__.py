@@ -5,3 +5,4 @@ from gfe_mamba_tpu.utils.experiment import (
     volume_grid,
     save_volume_grid,
 )
+from gfe_mamba_tpu.utils import profiling  # noqa: F401

@@ -76,14 +76,24 @@ def main(args):
             inner["generator"] = load_params_npz(cf["gan_ckpt"],
                                                  inner["generator"])
     if cf.get("pth_dir"):
+        import os
         prefix = "best_" if cf.get("use_best", False) else ""
         suffix = "" if cf.get("use_best", False) else "_current"
-        inner["combiner"] = load_params_npz(
-            join(cf["pth_dir"], f"{prefix}model{suffix}.npz"),
-            inner["combiner"])
-        inner["classifier"] = load_params_npz(
-            join(cf["pth_dir"], f"{prefix}ft_model{suffix}.npz"),
-            inner["classifier"])
+        comb_path = join(cf["pth_dir"], f"{prefix}model{suffix}")
+        cls_path = join(cf["pth_dir"], f"{prefix}ft_model{suffix}")
+        if os.path.exists(comb_path + ".pth"):
+            # reference torch Stage-2 checkpoints (classify_mamba.py:158-172)
+            from gfe_mamba_tpu.utils.torch_import import (
+                import_classifier, import_combiner, load_torch_state_dict)
+            inner["combiner"] = import_combiner(
+                load_torch_state_dict(comb_path + ".pth"), inner["combiner"])
+            inner["classifier"] = import_classifier(
+                load_torch_state_dict(cls_path + ".pth"), inner["classifier"])
+        else:
+            inner["combiner"] = load_params_npz(comb_path + ".npz",
+                                                inner["combiner"])
+            inner["classifier"] = load_params_npz(cls_path + ".npz",
+                                                  inner["classifier"])
     params = {**params, "params": inner}
 
     counts, losses, total = None, 0.0, 0

@@ -96,3 +96,15 @@ def test_causality():
     np.testing.assert_allclose(np.asarray(y1[:, :5]), np.asarray(y2[:, :5]),
                                rtol=1e-5, atol=1e-5)
     assert not np.allclose(np.asarray(y1[:, 5:]), np.asarray(y2[:, 5:]))
+
+
+def test_pallas_scan_mode_at_model_level():
+    """Mamba with scan_mode='pallas' (interpret on CPU) agrees with the
+    associative path through the full block stack."""
+    model, params, x = _model_and_params(L=6)
+    pallas_model = Mamba(MambaConfig(**{**CFG.__dict__,
+                                        "scan_mode": "pallas"}))
+    y_ref = model.apply(params, x)
+    y_pal = pallas_model.apply(params, x)
+    np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_ref),
+                               rtol=5e-4, atol=5e-4)

@@ -113,3 +113,21 @@ def test_tensor_parallel_matmul_matches_replicated():
     got = jax.jit(f)(sharded, jax.device_put(x, replicated(mesh)))
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_dataloader_device_sharding():
+    """DataLoader with a NamedSharding places batches across the mesh."""
+    from gfe_mamba_tpu.data.loader import DataLoader
+    mesh = make_mesh()
+
+    class DS:
+        def __len__(self):
+            return 16
+        def __getitem__(self, i):
+            return {"x": np.full((4,), i, np.float32)}
+
+    loader = DataLoader(DS(), batch_size=8, shuffle=False, prefetch=0,
+                        sharding=batch_sharding(mesh))
+    batch = next(iter(loader))
+    assert batch["x"].sharding.spec == P("data")
+    assert batch["x"].shape == (8, 4)
