@@ -313,10 +313,8 @@ def load_balancing_loss(router_logits: Sequence[Array], num_experts: int,
 
 
 class JambaLM(nn.Module):
-    """Embedding + Jamba + LM head (jamba.py:148-243).  HF
-    ``from_pretrained`` weight import is deliberately not wired yet --
-    this environment has no network egress; a weight-mapping loader can
-    consume a locally downloaded HF checkpoint in a later round."""
+    """Embedding + Jamba + LM head (jamba.py:148-243).  Use
+    :func:`from_pretrained` to load an HF Jamba checkpoint."""
 
     config: JambaConfig
 
@@ -349,6 +347,50 @@ class JambaLM(nn.Module):
         x, caches = self.jamba.step(x, caches, deterministic=deterministic)
         x = self.final_layernorm(x)
         return self._logits(x)[:, 0], caches
+
+
+def from_pretrained(name_or_path: str):
+    """Load an HF Jamba checkpoint (ai21labs/Jamba-v0.1 structure) into
+    (JambaLM, params) -- the reference's from_pretrained
+    (jamba.py:97-146) with verified logit parity
+    (tests/test_jamba_hf_import.py).  Pass a LOCAL path in egress-less
+    environments."""
+    import jax
+    import numpy as np
+    from transformers import AutoModelForCausalLM
+
+    from gfe_mamba_tpu.utils.torch_import import import_jamba_hf
+
+    hf = AutoModelForCausalLM.from_pretrained(
+        name_or_path, use_mamba_kernels=False, trust_remote_code=True)
+    c = hf.config
+    cfg = JambaConfig(
+        vocab_size=c.vocab_size, d_model=c.hidden_size,
+        n_layers=c.num_hidden_layers, rms_norm_eps=c.rms_norm_eps,
+        mlp_size=c.intermediate_size, inner_layernorms=True,
+        expand_factor=c.mamba_expand, dt_rank=c.mamba_dt_rank,
+        d_state=c.mamba_d_state, d_conv=c.mamba_d_conv,
+        conv_bias=c.mamba_conv_bias,
+        initializer_range=c.initializer_range, num_experts=c.num_experts,
+        num_experts_per_tok=c.num_experts_per_tok,
+        attn_layer_offset=c.attn_layer_offset,
+        attn_layer_period=c.attn_layer_period,
+        expert_layer_offset=c.expert_layer_offset,
+        expert_layer_period=c.expert_layer_period,
+        num_key_value_heads=c.num_key_value_heads,
+        num_attention_heads=c.num_attention_heads,
+        pad_token_id=c.pad_token_id,
+        attention_dropout=c.attention_dropout,
+        tie_lm_weights=c.tie_word_embeddings,
+    )
+    model = JambaLM(cfg)
+    state = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    like = jax.eval_shape(model.init, jax.random.key(0),
+                          jnp.zeros((1, 4), jnp.int32))
+    params = import_jamba_hf(state, like["params"])
+    params = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(np.asarray(x)), params)
+    return model, {"params": params}, cfg
 
 
 def generate(model: "JambaLM", params, prompt: Array, num_tokens: int,

@@ -315,3 +315,99 @@ def import_combiner(state_dict: Mapping[str, np.ndarray],
     """Combine_classfier_vit_mid checkpoint -> CombineClassifierVitMid."""
     return _import_with_mapping(state_dict, params_like,
                                 build_combiner_mapping(state_dict))
+
+
+def build_jamba_hf_mapping(state_dict: Mapping[str, np.ndarray]) -> dict:
+    """HF Jamba (ai21labs/Jamba-v0.1 naming, transformers JambaModel)
+    state_dict -> JambaLM params -- the capability of the reference's
+    ``from_pretrained`` (jamba.py:97-146), operating on a LOCAL
+    checkpoint (this environment has no network egress).
+
+    Expert weights stack into the (E, d, f) EP-shardable tensors used by
+    the dense-dispatch MoE (see models/jamba.py)."""
+    mapping: dict = {
+        "model.embed_tokens.weight": (["embedding", "embedding"], None),
+        "model.final_layernorm.weight": (["final_layernorm", "weight"], None),
+    }
+    if "lm_head.weight" in state_dict:
+        mapping["lm_head.weight"] = (["lm_head", "kernel"], _linear)
+
+    # stacked expert tensors need a gather across keys; handled by the
+    # caller via _stack_experts -- here we map everything per-key
+    for key in state_dict:
+        m = re.match(r"model\.layers\.(\d+)\.(.*)", key)
+        if not m:
+            continue
+        i, rest = int(m.group(1)), m.group(2)
+        base = ["jamba", f"layer_{i}"]
+        if rest == "input_layernorm.weight":
+            mapping[key] = (base + ["input_layernorm", "weight"], None)
+        elif rest == "pre_ff_layernorm.weight":
+            mapping[key] = (base + ["pre_moe_layernorm", "weight"], None)
+        elif rest.startswith("self_attn."):
+            proj = rest.split(".")[1]
+            mapping[key] = (base + ["self_attn", proj, "kernel"], _linear)
+        elif rest.startswith("mamba."):
+            inner = rest.split(".", 1)[1]
+            mbase = base + ["mamba"]
+            table = {
+                "A_log": (mbase + ["A_log"], None),
+                "D": (mbase + ["D"], None),
+                "in_proj.weight": (mbase + ["in_proj", "kernel"], _linear),
+                "in_proj.bias": (mbase + ["in_proj", "bias"], None),
+                "conv1d.weight": (mbase + ["conv1d", "kernel"],
+                                  _conv1d_depthwise),
+                "conv1d.bias": (mbase + ["conv1d", "bias"], None),
+                "x_proj.weight": (mbase + ["x_proj", "kernel"], _linear),
+                "dt_proj.weight": (mbase + ["dt_proj_kernel"], _linear),
+                "dt_proj.bias": (mbase + ["dt_proj_bias"], None),
+                "out_proj.weight": (mbase + ["out_proj", "kernel"], _linear),
+                "out_proj.bias": (mbase + ["out_proj", "bias"], None),
+                "dt_layernorm.weight": (mbase + ["dt_layernorm", "weight"],
+                                        None),
+                "b_layernorm.weight": (mbase + ["B_layernorm", "weight"],
+                                       None),
+                "c_layernorm.weight": (mbase + ["C_layernorm", "weight"],
+                                       None),
+            }
+            if inner in table:
+                mapping[key] = table[inner]
+        elif rest == "feed_forward.router.weight":
+            mapping[key] = (base + ["moe", "router", "kernel"], _linear)
+        elif re.match(r"feed_forward\.(gate|up|down)_proj\.weight", rest):
+            # dense (single-expert) layer
+            proj = rest.split(".")[1]
+            mapping[key] = (base + ["moe", "expert", proj, "kernel"],
+                            _linear)
+    return mapping
+
+
+def _stack_hf_experts(state_dict: Mapping[str, np.ndarray]) -> dict:
+    """layers.i.feed_forward.experts.e.{gate,up,down}_proj.weight ->
+    stacked (E, d, f) arrays keyed for the flax tree."""
+    groups: dict = {}
+    for key, value in state_dict.items():
+        m = re.match(
+            r"model\.layers\.(\d+)\.feed_forward\.experts\.(\d+)\."
+            r"(gate|up|down)_proj\.weight", key)
+        if not m:
+            continue
+        i, e, proj = int(m.group(1)), int(m.group(2)), m.group(3)
+        groups.setdefault((i, proj), {})[e] = np.transpose(value)  # (d, f)
+    stacked = {}
+    for (i, proj), experts in groups.items():
+        arrs = [experts[e] for e in sorted(experts)]
+        stacked[(f"layer_{i}", f"experts_{proj}")] = np.stack(arrs)
+    return stacked
+
+
+def import_jamba_hf(state_dict: Mapping[str, np.ndarray],
+                    params_like: Any) -> Any:
+    """HF Jamba checkpoint dict -> JambaLM params."""
+    sd = dict(state_dict)
+    mapping = build_jamba_hf_mapping(sd)
+    for (layer, name), value in _stack_hf_experts(sd).items():
+        key = f"__stacked__.{layer}.{name}"
+        sd[key] = value
+        mapping[key] = (["jamba", layer, "moe", name], None)
+    return _import_with_mapping(sd, params_like, mapping)
