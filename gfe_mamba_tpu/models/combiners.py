@@ -107,6 +107,119 @@ def _pool(x: Array, window: int = 3, stride: int = 2, kind: str = "max") -> Arra
     return nn.avg_pool(x, w, strides=s)
 
 
+class _PyramidExtract(nn.Module):
+    """Shared front of the legacy combiners (classifier.py:148-153 etc):
+    per-scale strided convs over concatenated encoder+decoder skips."""
+
+    latent_dim: int
+
+    @nn.compact
+    def __call__(self, encoders_feature, decoders_feature, *,
+                 deterministic: bool = True):
+        assert len(encoders_feature) == len(decoders_feature) == 2
+        extract = [
+            StridedConv(self.latent_dim, 3, "cge", 8, 1, stride=2,
+                        name="extract_0"),
+            StridedConv(self.latent_dim, 3, "cge", 8, 1, stride=1,
+                        name="extract_1"),
+        ]
+        feats = []
+        for en, de, mod in zip(encoders_feature, decoders_feature, extract):
+            feats.append(mod(jnp.concatenate([en, de], axis=-1),
+                             deterministic=deterministic))
+        return jnp.concatenate(feats, axis=-1)       # (B, ..., 2*latent)
+
+
+class CombineClassifier(nn.Module):
+    """Combine_classfier (classifier.py:144-182): pyramid -> flatten ->
+    Linear -> scalar logit."""
+
+    latent_dim: int = 16
+
+    @nn.compact
+    def __call__(self, encoders_feature, decoders_feature, *,
+                 deterministic: bool = True) -> Array:
+        whole = _PyramidExtract(self.latent_dim, name="extract")(
+            encoders_feature, decoders_feature, deterministic=deterministic)
+        x = _pool(whole)
+        x = _pool(StridedConv(self.latent_dim, 1, "cge", 8, 0,
+                              name="feature3_conv")(x))
+        x = _pool(StridedConv(self.latent_dim, 1, "cge", 8, 0,
+                              name="feature4_conv")(x))
+        x = StridedConv(self.latent_dim, 1, "cge", 8, 0,
+                        name="feature5_conv")(x)
+        x = _pool(x, kind="avg")
+        flat = x.reshape(x.shape[0], -1)
+        return nn.Dense(1, name="fully_con")(flat)
+
+
+class CombineClassifierCross(nn.Module):
+    """Combine_classfier_cross (classifier.py:186-225): padded pyramid ->
+    (B, latent, voxels) condition tokens for cross-attention."""
+
+    latent_dim: int = 16
+
+    @nn.compact
+    def __call__(self, encoders_feature, decoders_feature, *,
+                 deterministic: bool = True) -> Array:
+        whole = _PyramidExtract(self.latent_dim, name="extract")(
+            encoders_feature, decoders_feature, deterministic=deterministic)
+
+        def padded_pool(x):
+            dims = x.ndim - 2
+            return nn.max_pool(x, (3,) * dims, strides=(2,) * dims,
+                               padding=[(1, 1)] * dims)
+
+        x = padded_pool(whole)
+        x = padded_pool(StridedConv(self.latent_dim, 1, "cge", 8, 0,
+                                    name="feature3_conv")(x))
+        x = padded_pool(StridedConv(self.latent_dim, 1, "cge", 8, 0,
+                                    name="feature4_conv")(x))
+        return rearrange(x, "b x y z c -> b c (x y z)")
+
+
+class CombineClassifierEmb(nn.Module):
+    """Combine_classfier_emb (classifier.py:229-250): pyramid extract ->
+    3D patch embedding -> token sequence."""
+
+    latent_dim: int = 16
+    patch_size: int = 16
+    embed_dim: int = 512
+
+    @nn.compact
+    def __call__(self, encoders_feature, decoders_feature, *,
+                 deterministic: bool = True) -> Array:
+        whole = _PyramidExtract(self.latent_dim, name="extract")(
+            encoders_feature, decoders_feature, deterministic=deterministic)
+        return PatchEmbed3D(self.patch_size, self.embed_dim,
+                            name="patch_embbeder")(whole)
+
+
+class CombineClassifierFused(nn.Module):
+    """Combine_classfier_ (classifier.py:253-295): pyramid descriptor
+    concatenated with an external FT feature -> scalar logit."""
+
+    latent_dim: int = 16
+
+    @nn.compact
+    def __call__(self, encoders_feature, decoders_feature, ft_feature, *,
+                 deterministic: bool = True) -> Array:
+        whole = _PyramidExtract(self.latent_dim, name="extract")(
+            encoders_feature, decoders_feature, deterministic=deterministic)
+        x = _pool(whole)
+        x = _pool(StridedConv(self.latent_dim, 1, "cge", 8, 0,
+                              name="feature3_conv")(x))
+        x = _pool(StridedConv(self.latent_dim, 1, "cge", 8, 0,
+                              name="feature4_conv")(x))
+        x = StridedConv(self.latent_dim, 1, "cge", 8, 0,
+                        name="feature5_conv")(x)
+        x = _pool(x, kind="avg")
+        b = x.shape[0]
+        feats = x.reshape(b, 1, -1)
+        combined = jnp.concatenate([feats, ft_feature], axis=1).reshape(b, -1)
+        return nn.Dense(1, name="fully_con")(combined)
+
+
 class CombinePyramid(nn.Module):
     """Skeleton of the legacy pyramid combiners (Combine_classfier_3,
     classifier.py:336-370): per-scale strided convs over concatenated

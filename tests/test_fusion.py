@@ -178,3 +178,40 @@ def test_full_pipeline_forward_and_grads():
     assert float(jnp.abs(g_comb).sum()) > 0
     g_cls = grads["params"]["classifier"]["to_logits"]["Dense_0"]["kernel"]
     assert float(jnp.abs(g_cls).sum()) > 0
+
+
+def test_legacy_combiners():
+    """Legacy pyramid combiner family (classifier.py:144-370)."""
+    from gfe_mamba_tpu.models.combiners import (
+        CombineClassifier, CombineClassifierCross, CombineClassifierEmb,
+        CombineClassifierFused, CombinePyramid,
+    )
+    rng = np.random.RandomState(0)
+    # skip features at 1x and 1/2x resolution (f_maps 8, 16); the
+    # 5-level pyramid needs >=64^3 inputs to avoid degenerate pools
+    enc = [jnp.asarray(rng.randn(1, 64, 64, 64, 8), jnp.float32),
+           jnp.asarray(rng.randn(1, 32, 32, 32, 16), jnp.float32)]
+    dec = [jnp.asarray(rng.randn(1, 64, 64, 64, 8), jnp.float32),
+           jnp.asarray(rng.randn(1, 32, 32, 32, 16), jnp.float32)]
+
+    m = CombineClassifier(latent_dim=4)
+    out = m.apply(m.init(jax.random.key(0), enc, dec), enc, dec)
+    assert out.shape == (1, 1)
+
+    m = CombineClassifierCross(latent_dim=4)
+    out = m.apply(m.init(jax.random.key(0), enc, dec), enc, dec)
+    assert out.shape[0] == 1 and out.shape[1] == 4  # (B, latent, voxels)
+
+    m = CombineClassifierEmb(latent_dim=4, patch_size=8, embed_dim=32)
+    out = m.apply(m.init(jax.random.key(0), enc, dec), enc, dec)
+    assert out.shape == (1, (32 // 8) ** 3, 32)
+
+    # external FT feature must match the pyramid descriptor width
+    ft = jnp.ones((1, 1, 4), jnp.float32)
+    m = CombineClassifierFused(latent_dim=4)
+    out = m.apply(m.init(jax.random.key(0), enc, dec, ft), enc, dec, ft)
+    assert out.shape == (1, 1)
+
+    m = CombinePyramid(latent_dim=4)
+    out = m.apply(m.init(jax.random.key(0), enc, dec), enc, dec)
+    assert out.ndim == 3
