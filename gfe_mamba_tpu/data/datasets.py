@@ -34,6 +34,34 @@ from gfe_mamba_tpu.data.table import prepare_table
 from gfe_mamba_tpu.data.loader import DataLoader
 
 
+def _native_io_enabled() -> bool:
+    """Use the C++ decode+normalize+resample path when built
+    (GFE_NATIVE_IO=0 disables)."""
+    if os.environ.get("GFE_NATIVE_IO", "1") == "0":
+        return False
+    from gfe_mamba_tpu.data import native
+    return native.available()
+
+
+def _load_preprocessed(path: str, desired_shape, normalize: bool) -> np.ndarray:
+    """Decode a NIfTI file -> (adaptive-normalized) -> resampled volume,
+    through the native library when available (bit-compatible with the
+    Python path; parity tested)."""
+    if _native_io_enabled():
+        from gfe_mamba_tpu.data import native
+        try:
+            return native.load_volume(path, desired_shape,
+                                      normalize=normalize)
+        except (IOError, RuntimeError):
+            pass  # fall back to the Python codec
+    vol, _ = load_nifti(path)
+    if vol.ndim > 3:
+        vol = vol[..., 0]
+    if normalize:
+        vol = np_adaptive_normal(vol)
+    return np_resize(vol, desired_shape)
+
+
 def date_difference(date1: str, date2: str) -> int:
     """Days between YYYY-MM-DD dates (reference common.py:28-40)."""
     d1 = datetime.strptime(date1, "%Y-%m-%d")
@@ -113,14 +141,13 @@ class MRI2PETDataset:
         if not os.path.exists(mri_path):
             mri_path = join(subject, "mri.nii")
         pet_path = mri_path.replace("mri.nii", "pet.nii")
-        mri, _ = load_nifti(mri_path)
+        mri = _load_preprocessed(mri_path, self.desired_shape,
+                                 normalize=True)
+        # the PET is cropped to its own foreground bbox before resizing
+        # (CropForegroundd keys=['label'], threed_loader.py:60-61), so it
+        # stays on the Python path
         pet, _ = load_nifti(pet_path)
-        mri = np_adaptive_normal(mri)
-        # crop both to the PET foreground bbox (CropForegroundd keys=
-        # ['label'] crops only the label; images are resized from their
-        # full field of view -- threed_loader.py:60-61)
         pet = np_crop_foreground(pet, pet)
-        mri = np_resize(mri, self.desired_shape)
         pet = np_resize(pet, self.desired_shape)
         pet = np_scale_intensity(pet, 0.0, 2.0, -1.0, 1.0)
         return {
@@ -216,11 +243,7 @@ class MRIClassifyDataset:
     def __getitem__(self, index: int) -> dict:
         path, row = self.items[index]
         _, _, label = parse_classify_filename(path)
-        vol, _ = load_nifti(path)
-        if vol.ndim > 3:
-            vol = vol[..., 0]
-        vol = np_adaptive_normal(vol)
-        vol = np_resize(vol, self.desired_shape)
+        vol = _load_preprocessed(path, self.desired_shape, normalize=True)
         item = {
             "image": vol[..., None].astype(np.float32),
             "label": np.int32(label),

@@ -53,10 +53,11 @@ def main(args):
             sample = jnp.zeros((1,) + tuple(
                 p + 2 * h for p, h in zip(patch, halo)) + (raw.shape[-1],))
             variables = model.init(jax.random.key(0), sample)
-            payload = ckpt.restore(name, like={"params": variables})
-            variables = payload["params"]
+            payload = ckpt.restore(name, like={
+                "params": variables, "num_iterations": 0,
+                "best_eval_score": 0.0})
+            params = payload["params"]
             fwd = jax.jit(lambda v, x: model.apply(v, x))
-            params = variables
         prediction = sliding_window_predict(
             lambda x: fwd(params, jnp.asarray(x)), raw, patch, stride,
             halo_shape=halo, out_channels=config["model"]["out_channels"],

@@ -179,3 +179,18 @@ def test_np_adaptive_normal_matches_jax_twin():
     np.testing.assert_allclose(
         np_adaptive_normal(img),
         np.asarray(adaptive_normal(jnp.asarray(img))), rtol=1e-5, atol=1e-5)
+
+
+def test_native_and_python_dataset_paths_agree(tmp_path, monkeypatch):
+    from gfe_mamba_tpu.data import native
+    if not native.available():
+        pytest.skip("native library not built")
+    root = make_classify_tree(str(tmp_path / "nat"), n_items=2,
+                              shape=(20, 20, 12))[0]
+    csv = str(tmp_path / "nat" / "table.csv")
+    ds = MRIClassifyDataset(root, csv, desired_shape=(16, 16, 8))
+    native_item = ds[0]["image"]
+    monkeypatch.setenv("GFE_NATIVE_IO", "0")
+    python_item = ds[0]["image"]
+    np.testing.assert_allclose(native_item, python_item, rtol=1e-5,
+                               atol=1e-5)
