@@ -136,7 +136,8 @@ def main():
     vps = measure(fwd, params, inputs, batch, warmup=1, iters=iters)
 
     vs_baseline = 0.0
-    if os.path.exists(BASELINE_FILE):
+    # the tiny --quick config is not comparable to the canonical baseline
+    if not args.quick and os.path.exists(BASELINE_FILE):
         with open(BASELINE_FILE) as f:
             base = json.load(f)["cpu_volumes_per_sec"]
         if base > 0:
