@@ -100,6 +100,12 @@ class StridedConv(nn.Module):
 
 def _pool(x: Array, window: int = 3, stride: int = 2, kind: str = "max") -> Array:
     dims = x.ndim - 2
+    if any(d < window for d in x.shape[1:1 + dims]):
+        # torch's MaxPool3d(3,2) raises here; XLA would silently emit a
+        # zero-size tensor instead -- fail loudly with the same meaning.
+        raise ValueError(
+            f"pyramid pool window {window} exceeds spatial dims "
+            f"{x.shape[1:1 + dims]}; combiner inputs are too small")
     w = (window,) * dims
     s = (stride,) * dims
     if kind == "max":
@@ -220,10 +226,34 @@ class CombineClassifierFused(nn.Module):
         return nn.Dense(1, name="fully_con")(combined)
 
 
-class CombinePyramid(nn.Module):
-    """Skeleton of the legacy pyramid combiners (Combine_classfier_3,
-    classifier.py:336-370): per-scale strided convs over concatenated
-    encoder+decoder features, pooled conv pyramid, flattened tokens."""
+class CombineClassifier2(nn.Module):
+    """Combine_classfier_2 (classifier.py:286-325): pyramid extract ->
+    constant-width (latent_dim) pooled conv pyramid -> single flattened
+    descriptor token ``(B, 1, latent_dim * voxels)``."""
+
+    latent_dim: int = 16
+
+    @nn.compact
+    def __call__(self, encoders_feature: Sequence[Array],
+                 decoders_feature: Sequence[Array], *,
+                 deterministic: bool = True) -> Array:
+        whole = _PyramidExtract(self.latent_dim, name="extract")(
+            encoders_feature, decoders_feature, deterministic=deterministic)
+        whole = _pool(whole)
+        f3 = _pool(StridedConv(self.latent_dim, 1, "cge", 8, 0,
+                               name="feature3_conv")(whole))
+        f4 = _pool(StridedConv(self.latent_dim, 1, "cge", 8, 0,
+                               name="feature4_conv")(f3))
+        f5 = _pool(StridedConv(self.latent_dim, 1, "cge", 8, 0,
+                               name="feature5_conv")(f4), kind="avg")
+        return f5.reshape(f5.shape[0], 1, -1)
+
+
+class CombineClassifier3(nn.Module):
+    """Combine_classfier_3 (classifier.py:336-370): per-scale strided
+    convs over concatenated encoder+decoder features, widening pooled
+    conv pyramid (latent*2 -> latent*4), flattened to a voxel-token
+    sequence ``(B, voxels, latent_dim * 4)``."""
 
     latent_dim: int = 128
     f_maps: Sequence[int] = (64, 128, 256)
@@ -232,18 +262,9 @@ class CombinePyramid(nn.Module):
     def __call__(self, encoders_feature: Sequence[Array],
                  decoders_feature: Sequence[Array], *,
                  deterministic: bool = True) -> Array:
-        assert len(encoders_feature) == len(decoders_feature) == 2
-        extract = [
-            StridedConv(self.latent_dim, 3, "cge", 8, 1, stride=2,
-                        name="extract_0"),
-            StridedConv(self.latent_dim, 3, "cge", 8, 1, stride=1,
-                        name="extract_1"),
-        ]
-        feats = []
-        for en, de, mod in zip(encoders_feature, decoders_feature, extract):
-            feats.append(mod(jnp.concatenate([en, de], axis=-1),
-                             deterministic=deterministic))
-        whole = _pool(jnp.concatenate(feats, axis=-1))
+        whole = _PyramidExtract(self.latent_dim, name="extract")(
+            encoders_feature, decoders_feature, deterministic=deterministic)
+        whole = _pool(whole)
         f3 = _pool(StridedConv(self.latent_dim * 2, 1, "cge", 8, 0,
                                name="feature3_conv")(whole))
         f4 = _pool(StridedConv(self.latent_dim * 4, 1, "cge", 8, 0,
@@ -251,3 +272,8 @@ class CombinePyramid(nn.Module):
         f5 = _pool(StridedConv(self.latent_dim * 4, 1, "cge", 8, 0,
                                name="feature5_conv")(f4), kind="avg")
         return rearrange(f5, "b x y z c -> b (x y z) c")
+
+
+# Backwards-compatible alias: round-1 shipped Combine_classfier_3's
+# skeleton under this name.
+CombinePyramid = CombineClassifier3

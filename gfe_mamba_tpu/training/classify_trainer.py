@@ -48,7 +48,9 @@ class ClassifyTrainer:
         self.pipeline = pipeline
         self.dtype = compute_dtype(mixed_precision)
         self.base_tx = adam_with_param_clip(lr, grad_clip)
-        self.tx = None  # finalized in init_state (needs params for mask)
+        # stateless: built once, reusable for any param tree (restoring a
+        # checkpoint does not require calling init_state first)
+        self.tx = masked_trainable(self.base_tx, _is_generator)
 
     def init_state(self, rng: Array, sample_mri: Array, sample_cat: Array,
                    sample_num: Array, *, generator_params: Any = None
@@ -58,7 +60,6 @@ class ClassifyTrainer:
             # splice in Stage-1 trained generator weights
             params = {**params, "params": {
                 **params["params"], "generator": generator_params}}
-        self.tx = masked_trainable(self.base_tx, _is_generator, params["params"])
         return ClassifyState(step=jnp.zeros((), jnp.int32), params=params,
                              opt_state=self.tx.init(params["params"]))
 

@@ -104,12 +104,19 @@ class GanTrainer:
         the batch splits into ``accum`` microbatches scanned
         sequentially with grad averaging -- one optimizer update per
         call, constant activation memory (main_gan_vit.py:68 semantics).
+        BOTH the generator and the discriminator gradients accumulate
+        over every microbatch, matching Accelerate's ``accumulate()``
+        wrapping both backward passes (main_gan_vit.py:68-97).
         """
 
         def g_loss_fn(p, mri_mb, pet_mb, mb_rng):
             merged = {**state.g_params, "params": p}
             return self._losses(merged, state.d_params, mri_mb, pet_mb,
                                 adv_on, mb_rng)
+
+        def d_loss_fn(p, recon_mb, pet_mb):
+            merged = {**state.d_params, "params": p}
+            return self._d_loss(merged, recon_mb, pet_mb, adv_on)
 
         if self.accum > 1:
             bsz = mri.shape[0]
@@ -120,44 +127,44 @@ class GanTrainer:
             rngs = jax.random.split(rng, self.accum)
 
             def micro(carry, inp):
-                grads_acc, aux_acc = carry
+                g_acc, d_acc, aux_acc = carry
                 x, y, r = inp
                 (loss, aux), grads = jax.value_and_grad(
                     g_loss_fn, has_aux=True)(
                     state.g_params["params"], x, y, r)
-                grads_acc = jax.tree_util.tree_map(
-                    lambda a, g: a + g / self.accum, grads_acc, grads)
+                g_acc = jax.tree_util.tree_map(
+                    lambda a, g: a + g / self.accum, g_acc, grads)
                 recon, l1, pl_, adv = aux
-                aux_acc = (recon,  # last microbatch recon feeds D
-                           aux_acc[1] + l1 / self.accum,
-                           aux_acc[2] + pl_ / self.accum,
-                           aux_acc[3] + adv / self.accum,
-                           aux_acc[4] + loss / self.accum)
-                return (grads_acc, aux_acc), None
+                ld, d_grads_mb = jax.value_and_grad(d_loss_fn)(
+                    state.d_params["params"], recon, y)
+                d_acc = jax.tree_util.tree_map(
+                    lambda a, g: a + g / self.accum, d_acc, d_grads_mb)
+                aux_acc = (aux_acc[0] + l1 / self.accum,
+                           aux_acc[1] + pl_ / self.accum,
+                           aux_acc[2] + adv / self.accum,
+                           aux_acc[3] + loss / self.accum,
+                           aux_acc[4] + ld / self.accum)
+                return (g_acc, d_acc, aux_acc), None
 
-            zero_grads = jax.tree_util.tree_map(
+            zero_g = jax.tree_util.tree_map(
                 jnp.zeros_like, state.g_params["params"])
-            init_aux = (jnp.zeros_like(pet_mb[0]), 0.0, 0.0, 0.0, 0.0)
-            (g_grads, aux_acc), _ = jax.lax.scan(
-                micro, (zero_grads, init_aux), (mri_mb, pet_mb, rngs))
-            recon, recons_loss, p_loss, gen_adv, loss_g = aux_acc
-            pet = pet_mb[-1]  # discriminator sees the last microbatch
+            zero_d = jax.tree_util.tree_map(
+                jnp.zeros_like, state.d_params["params"])
+            init_aux = (0.0, 0.0, 0.0, 0.0, 0.0)
+            (g_grads, d_grads, aux_acc), _ = jax.lax.scan(
+                micro, (zero_g, zero_d, init_aux), (mri_mb, pet_mb, rngs))
+            recons_loss, p_loss, gen_adv, loss_g, loss_d = aux_acc
         else:
             (loss_g, (recon, recons_loss, p_loss, gen_adv)), g_grads = \
                 jax.value_and_grad(g_loss_fn, has_aux=True)(
                     state.g_params["params"], mri, pet, rng)
+            loss_d, d_grads = jax.value_and_grad(d_loss_fn)(
+                state.d_params["params"], recon, pet)
         g_updates, g_opt = self.g_tx.update(
             g_grads, state.g_opt, state.g_params["params"])
         g_params = {**state.g_params,
                     "params": optax.apply_updates(
                         state.g_params["params"], g_updates)}
-
-        def d_loss_fn(p):
-            merged = {**state.d_params, "params": p}
-            return self._d_loss(merged, recon, pet, adv_on)
-
-        loss_d, d_grads = jax.value_and_grad(d_loss_fn)(
-            state.d_params["params"])
         # gate the discriminator update entirely during warm-up
         d_grads = jax.tree_util.tree_map(lambda g: g * adv_on, d_grads)
         d_updates, d_opt = self.d_tx.update(

@@ -56,8 +56,12 @@ def adam_with_param_clip(lr: float, clip: float = 1.0) -> optax.GradientTransfor
 
 def masked_trainable(inner: optax.GradientTransformation,
                      frozen_predicate: Callable[[tuple], bool],
-                     params: Any) -> optax.GradientTransformation:
-    """Freeze subtrees selected by ``frozen_predicate(path)``."""
+                     ) -> optax.GradientTransformation:
+    """Freeze subtrees selected by ``frozen_predicate(path)``.
+
+    The label function is evaluated lazily against whatever param tree
+    the transformation is ``init``-ed with, so the returned optimizer is
+    stateless and reusable across differently-shaped trees."""
 
     def label(tree):
         def per_path(path, _):

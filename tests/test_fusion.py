@@ -215,3 +215,46 @@ def test_legacy_combiners():
     m = CombinePyramid(latent_dim=4)
     out = m.apply(m.init(jax.random.key(0), enc, dec), enc, dec)
     assert out.ndim == 3
+
+
+def test_combine_classifier_2_and_3():
+    """Combine_classfier_2/_3 (classifier.py:286-325, 335-370): exact
+    channel widths, token layouts, and full gradient flow."""
+    from gfe_mamba_tpu.models.combiners import (
+        CombineClassifier2, CombineClassifier3,
+    )
+    rng = np.random.RandomState(1)
+    enc = [jnp.asarray(rng.randn(2, 64, 64, 64, 8), jnp.float32),
+           jnp.asarray(rng.randn(2, 32, 32, 32, 16), jnp.float32)]
+    dec = [jnp.asarray(rng.randn(2, 64, 64, 64, 8), jnp.float32),
+           jnp.asarray(rng.randn(2, 32, 32, 32, 16), jnp.float32)]
+
+    # _2: constant-width pyramid -> one flat descriptor token (B, 1, N)
+    m2 = CombineClassifier2(latent_dim=4)
+    vars2 = m2.init(jax.random.key(0), enc, dec)
+    out2 = m2.apply(vars2, enc, dec)
+    assert out2.shape[:2] == (2, 1) and out2.shape[2] % 4 == 0
+    # pyramid widths: every conv stays latent_dim wide (classifier.py:
+    # 296-298)
+    p2 = vars2["params"]
+    for conv in ("feature3_conv", "feature4_conv", "feature5_conv"):
+        assert p2[conv]["conv"]["kernel"].shape[-1] == 4, conv
+
+    # _3: widening pyramid -> (B, voxels, latent*4) token sequence
+    m3 = CombineClassifier3(latent_dim=4)
+    vars3 = m3.init(jax.random.key(0), enc, dec)
+    out3 = m3.apply(vars3, enc, dec)
+    assert out3.ndim == 3 and out3.shape[0] == 2 and out3.shape[2] == 16
+    p3 = vars3["params"]
+    assert p3["feature3_conv"]["conv"]["kernel"].shape[-1] == 8
+    assert p3["feature4_conv"]["conv"]["kernel"].shape[-1] == 16
+    assert p3["feature5_conv"]["conv"]["kernel"].shape[-1] == 16
+
+    # gradient flow: every parameter receives gradient (reference's
+    # assert-by-print convention, classifier.py:374-385)
+    def loss(p):
+        return jnp.sum(m2.apply({"params": p}, enc, dec) ** 2)
+
+    grads = jax.grad(loss)(p2)
+    for path, leaf in jax.tree_util.tree_flatten_with_path(grads)[0]:
+        assert float(jnp.abs(leaf).sum()) > 0, path

@@ -163,19 +163,57 @@ def test_auto_resume_roundtrip(tmp_path):
 
 
 def test_gan_trainer_gradient_accumulation():
-    gen = ResidualMidUNet3DViT(1, 1, is_segmentation=False, **TINY_GEN)
-    disc = PatchDiscriminator(num_layers_d=2, num_channels=4)
-    trainer = GanTrainer(gen, disc, PerceptualLoss(fake_3d_ratio=0.5),
-                         mixed_precision="none", accum_steps=2)
-    rng = jax.random.key(0)
+    """accum=2 must equal a single full-batch step for BOTH optimizers
+    (the reference accumulates G and D across microbatches,
+    main_gan_vit.py:68-97).  Dropout off so rng splitting is inert."""
+    cfg = dict(TINY_GEN, dropout_prob=0.0, vit_dropout=0.0,
+               vit_emb_dropout=0.0)
     mri = jnp.asarray(np.random.RandomState(0).randn(2, 16, 16, 8, 1),
                       jnp.float32)
     pet = jnp.asarray(np.random.RandomState(1).randn(2, 16, 16, 8, 1),
                       jnp.float32)
-    state = trainer.init_state(rng, mri[:1], pet[:1])
-    state, logs = trainer.train_step(state, mri, pet, jnp.float32(1.0), rng)
-    for key, value in logs.items():
-        assert np.isfinite(float(value)), key
+    rng = jax.random.key(0)
+    states = []
+    for accum in (1, 2):
+        gen = ResidualMidUNet3DViT(1, 1, is_segmentation=False, **cfg)
+        disc = PatchDiscriminator(num_layers_d=2, num_channels=4)
+        trainer = GanTrainer(gen, disc, PerceptualLoss(fake_3d_ratio=0.5),
+                             mixed_precision="none", accum_steps=accum)
+        state = trainer.init_state(rng, mri[:1], pet[:1])
+        state, logs = trainer.train_step(state, mri, pet,
+                                         jnp.float32(1.0), rng)
+        for key, value in logs.items():
+            assert np.isfinite(float(value)), key
+        states.append(state)
+    for a, b in zip(jax.tree_util.tree_leaves(states[0].g_params),
+                    jax.tree_util.tree_leaves(states[1].g_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(states[0].d_params),
+                    jax.tree_util.tree_leaves(states[1].d_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_classify_trainer_restore_without_init():
+    """The optimizer is built in __init__, so a fresh trainer can resume
+    from checkpointed params without ever calling init_state."""
+    model = build_gfe_mamba(categories=(3, 2), num_continuous=3, dim=32,
+                            depth=1, heads=2, seq_length=2, **TINY_GEN)
+    rng = jax.random.key(0)
+    mri = jnp.zeros((1, 16, 16, 8, 1), jnp.float32)
+    x_cat = jnp.zeros((1, 2), jnp.int32)
+    x_num = jnp.zeros((1, 3), jnp.float32)
+    params = ClassifyTrainer(model).pipeline.init(rng, mri, x_cat, x_num)
+
+    from gfe_mamba_tpu.training.classify_trainer import ClassifyState
+    fresh = ClassifyTrainer(model, lr=1e-3, mixed_precision="none")
+    state = ClassifyState(step=jnp.zeros((), jnp.int32), params=params,
+                          opt_state=fresh.tx.init(params["params"]))
+    state, logs = fresh.train_step(state, mri, x_cat, x_num,
+                                   jnp.zeros((1,), jnp.float32), rng)
+    assert np.isfinite(float(logs["cla_loss"]))
+    assert int(state.step) == 1
 
 
 def test_pipeline_overfits_tiny_cohort():
