@@ -151,3 +151,117 @@ def test_hdf5_dataset(tmp_path):
                        {"patch_shape": (4, 4, 4), "stride_shape": (3, 3, 2)},
                        lazy=True)
     np.testing.assert_allclose(lazy[0]["raw"], item["raw"])
+
+
+# ---------------------------------------------------------------------------
+# Adapted Rand error family (reference metrics.py:107-257)
+
+def _brute_force_rand(t, s):
+    """Pair-counting ground truth for adapted_rand_error."""
+    t, s = np.asarray(t).ravel(), np.asarray(s).ravel()
+    co = same_t = same_s = 0
+    n = len(t)
+    for i in range(n):
+        for j in range(i + 1, n):
+            st, ss = t[i] == t[j], s[i] == s[j]
+            same_t += st
+            same_s += ss
+            co += st and ss
+    prec = co / same_s if same_s else 0.0
+    rec = co / same_t if same_t else 0.0
+    f = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+    return 1.0 - f, prec, rec
+
+
+def test_adapted_rand_error_golden():
+    from gfe_mamba_tpu.segmentation.metrics import adapted_rand_error
+    rng = np.random.RandomState(0)
+    for trial in range(3):
+        t = rng.randint(0, 4, size=40)
+        s = rng.randint(0, 3, size=40)
+        are, p, r = adapted_rand_error(t, s)
+        are_bf, p_bf, r_bf = _brute_force_rand(t, s)
+        np.testing.assert_allclose([are, p, r], [are_bf, p_bf, r_bf],
+                                   atol=1e-12)
+    # perfect (label-permuted) segmentation: zero error
+    t = np.repeat([1, 2, 3], 10)
+    s = np.repeat([7, 5, 9], 10)
+    are, p, r = adapted_rand_error(t, s)
+    assert are == 0.0 and p == 1.0 and r == 1.0
+    # ignore_labels drops masked ground-truth pixels
+    t2 = np.concatenate([t, np.zeros(5, int)])
+    s2 = np.concatenate([s, np.full(5, 1)])
+    assert adapted_rand_error(t2, s2, ignore_labels=(0,))[0] == 0.0
+
+
+def test_adapted_rand_error_functor():
+    from gfe_mamba_tpu.segmentation.metrics import AdaptedRandError
+    rng = np.random.RandomState(1)
+    seg = rng.randint(0, 3, size=(2, 6, 6, 4))
+    inp = seg[..., None].astype(np.float32)        # (B,*,C=1) channels-last
+    tgt = seg[..., None].astype(np.float32)
+    assert AdaptedRandError()(inp, tgt) == 0.0
+    # single-label ground truth is skipped as 0
+    flat = np.zeros((1, 6, 6, 4, 1), np.float32)
+    assert AdaptedRandError()(flat, flat) == 0.0
+
+
+def test_boundary_adapted_rand_error():
+    from gfe_mamba_tpu.segmentation.metrics import (
+        BoundaryAdaptedRandError, get_evaluation_metric,
+    )
+    # two slabs split by a boundary plane at y=4
+    gt = np.zeros((1, 9, 8, 4), np.int32)
+    gt[:, :4] = 1
+    gt[:, 5:] = 2
+    boundary = np.zeros((1, 9, 8, 4, 1), np.float32)
+    boundary[:, 4] = 1.0                          # boundary prob map
+    metric = BoundaryAdaptedRandError()
+    err = metric(boundary, gt[..., None].astype(np.float32))
+    assert err < 1e-6
+    # factory path
+    fn = get_evaluation_metric({"eval_metric": {
+        "name": "BoundaryAdaptedRandError", "thresholds": [0.5]}})
+    assert fn(boundary, gt[..., None].astype(np.float32)) < 1e-6
+
+
+def test_instance_ap_golden():
+    from gfe_mamba_tpu.segmentation.metrics import (
+        InstanceAccuracy, InstanceAveragePrecision, SegmentationScores,
+    )
+    # gt: two 4x4 blobs; seg: one exact match, one shifted by 2 cols
+    gt = np.zeros((12, 12), np.int32)
+    gt[1:5, 1:5] = 1
+    gt[7:11, 1:5] = 2
+    seg = np.zeros((12, 12), np.int32)
+    seg[1:5, 1:5] = 1                      # IoU 1.0
+    seg[7:11, 3:7] = 2                     # IoU 8/24 = 1/3
+    m = SegmentationScores(gt, seg).metrics(0.5)
+    assert m == {"precision": 0.5, "recall": 0.5, "accuracy": 1 / 3,
+                 "f1": 0.5}
+    assert InstanceAccuracy(0.5)(seg, gt) == 1 / 3
+    # AP over 0.50:0.95 -- the exact-match blob passes all 10 thresholds,
+    # the shifted one never does: acc = 1/3 at each threshold
+    np.testing.assert_allclose(InstanceAveragePrecision()(seg, gt), 1 / 3)
+
+
+def test_blobs_average_precision_factory():
+    from gfe_mamba_tpu.segmentation.metrics import get_evaluation_metric
+    # perfect blob prediction through the factory, channels-last batch
+    vol = np.zeros((1, 10, 10, 6), np.float32)
+    vol[:, 1:4, 1:4, 1:4] = 1.0
+    vol[:, 6:9, 6:9, 1:4] = 1.0
+    inp = vol[..., None]
+    from scipy.ndimage import label
+    tgt = label(vol[0] > 0)[0][None, ..., None].astype(np.float32)
+    fn = get_evaluation_metric({"eval_metric": {
+        "name": "BlobsAveragePrecision"}})
+    assert fn(inp, tgt) == 1.0
+    # min_instance_size below the 27-voxel blobs keeps them; above it
+    # filters every instance from both maps -> trivial zero score
+    fn = get_evaluation_metric({"eval_metric": {
+        "name": "BlobsAveragePrecision", "min_instance_size": 10}})
+    assert fn(inp, tgt) == 1.0
+    fn = get_evaluation_metric({"eval_metric": {
+        "name": "BlobsAveragePrecision", "min_instance_size": 28}})
+    assert fn(inp, tgt) == 0.0
