@@ -62,3 +62,38 @@ def test_pallas_gradients_match_associative():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=5e-4, atol=5e-4,
                                    err_msg=f"grad mismatch for {name}")
+
+
+@pytest.mark.parametrize("gate,bias,softplus", [
+    (True, False, True), (False, True, True), (True, True, False),
+])
+def test_pallas_fused_backward_variants(gate, bias, softplus):
+    """Fused Pallas backward vs associative VJP for every epilogue
+    combination (mamba_ssm training semantics, mamba.py:243-252)."""
+    x, delta, A, B, C, D, z, b = _inputs(seed=3, L=9, ED=5, gate=gate,
+                                         bias=bias)
+
+    def loss(mode):
+        def fn(args):
+            x, delta, A, B, C, D, z, b = args
+            y = selective_scan(x, delta, A, B, C, D, z=z, delta_bias=b,
+                               delta_softplus=softplus, mode=mode)
+            return jnp.sum(jnp.sin(y))
+        return fn
+
+    args = (x, delta, A, B, C, D, z, b)
+    g_ref = jax.grad(loss("associative"))(args)
+    g_pal = jax.grad(loss("pallas"))(args)
+    for ref, got in zip(jax.tree_util.tree_leaves(g_ref),
+                        jax.tree_util.tree_leaves(g_pal)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=5e-4, atol=5e-4)
+
+
+def test_pallas_backward_long_L_falls_back():
+    """Past the VMEM recompute budget the VJP uses the associative
+    fallback; under it the fused kernel is selected."""
+    from gfe_mamba_tpu.ops.pallas.selective_scan import _vmem_bwd_tile
+    assert _vmem_bwd_tile(64, 16) == 512
+    assert _vmem_bwd_tile(512, 16) in (256, 128)
+    assert _vmem_bwd_tile(1 << 14, 16) is None
