@@ -25,7 +25,8 @@ import numpy as np
 from gfe_mamba_tpu.config import load_config
 from gfe_mamba_tpu.data.datasets import classi_dataloader
 from gfe_mamba_tpu.models.pipeline import build_gfe_mamba
-from gfe_mamba_tpu.parallel.mesh import make_mesh, shard_batch
+from gfe_mamba_tpu.parallel import multihost
+from gfe_mamba_tpu.parallel.mesh import make_mesh
 from gfe_mamba_tpu.training.checkpoint import (
     BestTracker, load_params_npz, save_params_npz,
 )
@@ -38,10 +39,17 @@ from gfe_mamba_tpu.utils.experiment import (
 
 def build_everything(cf: dict):
     img_sz = tuple(cf["img_sz"])
+    nproc = jax.process_count()
+    shard = (jax.process_index(), nproc) if nproc > 1 else None
+    if cf["train_bc"] % max(nproc, 1):
+        raise ValueError(f"train_bc {cf['train_bc']} not divisible by "
+                         f"{nproc} processes")
     train_loader = classi_dataloader(
-        cf["train_path"], img_sz, cf["train_bc"], cf["table_path"],
+        cf["train_path"], img_sz, cf["train_bc"] // max(nproc, 1),
+        cf["table_path"],
         shuffle=True, days_threshold=cf.get("days_threshold", -1),
-        num_workers=cf.get("num_workers", 2))
+        num_workers=cf.get("num_workers", 2), seed=cf.get("seed", 0),
+        process_shard=shard)
     val_loader = classi_dataloader(
         cf["eval_path"], img_sz, cf["eval_bc"], cf["table_path"],
         shuffle=False, days_threshold=cf.get("days_threshold", -1),
@@ -84,6 +92,7 @@ def run_validation(trainer, params, val_loader, epoch, exp):
 
 
 def main(args):
+    multihost.initialize()  # no-op single-process
     cf = load_config(args.config_path)
     exp = ExperimentDir(args.config_path,
                         cf.get("project_dir", "weights/classifier"),
@@ -135,12 +144,15 @@ def main(args):
     strikes = StrikeCounter(max_strikes=10)
     for epoch in range(num_epochs):
         for batch in train_loader:
-            sb = shard_batch(batch, mesh)
+            sb = multihost.form_global_array(
+                {k: batch[k] for k in
+                 ("image", "cate_x", "conti_x", "label")}, mesh)
             rng, step_rng = jax.random.split(rng)
             state, logs = trainer.train_step(
                 state, sb["image"], sb["cate_x"], sb["conti_x"],
                 sb["label"], step_rng)
-            if global_step % cf.get("log_every", 10) == 0:
+            if (multihost.is_main_process()
+                    and global_step % cf.get("log_every", 10) == 0):
                 logs = {k: float(v) for k, v in logs.items()}
                 strikes.update(logs.pop("skipped", 0.0))
                 exp.log_scalars(logs, global_step)
@@ -148,7 +160,9 @@ def main(args):
                       " ".join(f"{k}={v:.4f}" for k, v in logs.items()))
             global_step += 1
 
-        if (epoch + 1) % cf["val_inter"] == 0 or epoch == num_epochs - 1:
+        if multihost.is_main_process() and (
+                (epoch + 1) % cf["val_inter"] == 0
+                or epoch == num_epochs - 1):
             metrics, val_loss = run_validation(
                 trainer, state.params, val_loader, epoch, exp)
             accuracy = float(metrics.accuracy) * 100
@@ -169,7 +183,7 @@ def main(args):
                                 state.params["params"]["classifier"])
                 print("Saved best model")
 
-        if not exp.is_debug and (
+        if multihost.is_main_process() and not exp.is_debug and (
                 (epoch + 1) % cf["save_inter"] == 0
                 or epoch == num_epochs - 1):
             save_params_npz(exp.path("model_current", "model_current.npz"),

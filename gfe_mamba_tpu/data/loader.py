@@ -41,11 +41,19 @@ class DataLoader:
         producer thread)
       sharding: optional jax.sharding.Sharding applied on device_put
       seed: shuffle seed; epoch counter advances it deterministically
+      process_shard: optional (process_index, process_count) for
+        multi-host runs -- every process builds the SAME global shuffle
+        (seed must match across processes) and loads only its disjoint
+        contiguous slice of each global batch, so ``batch_size`` here is
+        the PER-PROCESS batch.  The resulting local batches are what
+        ``parallel.multihost.form_global_array`` assembles into the
+        globally-sharded array.
     """
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  drop_last: bool = True, num_workers: int = 0,
-                 prefetch: int = 2, sharding=None, seed: int = 0):
+                 prefetch: int = 2, sharding=None, seed: int = 0,
+                 process_shard: "tuple[int, int] | None" = None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -55,18 +63,44 @@ class DataLoader:
         self.sharding = sharding
         self.seed = seed
         self.epoch = 0
+        if process_shard is not None:
+            pid, nproc = process_shard
+            if not 0 <= pid < nproc:
+                raise ValueError(f"bad process_shard {process_shard}")
+        self.process_shard = process_shard
 
     def __len__(self) -> int:
         n = len(self.dataset)
+        global_bs = self.batch_size * (
+            self.process_shard[1] if self.process_shard else 1)
         if self.drop_last:
-            return n // self.batch_size
-        return (n + self.batch_size - 1) // self.batch_size
+            return n // global_bs
+        return (n + global_bs - 1) // global_bs
 
     def _index_batches(self):
         order = np.arange(len(self.dataset))
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self.epoch)
             rng.shuffle(order)
+        if self.process_shard is not None:
+            # identical global order on every process; each takes its
+            # contiguous block of the global batch (multi-host runs
+            # want drop_last so shapes agree across processes)
+            pid, nproc = self.process_shard
+            global_bs = self.batch_size * nproc
+            for start in range(0, len(order), global_bs):
+                chunk = order[start:start + global_bs]
+                if len(chunk) < global_bs:
+                    if self.drop_last:
+                        return
+                    chunk = chunk[pid * len(chunk) // nproc:
+                                  (pid + 1) * len(chunk) // nproc]
+                else:
+                    chunk = chunk[pid * self.batch_size:
+                                  (pid + 1) * self.batch_size]
+                if len(chunk):
+                    yield chunk
+            return
         for start in range(0, len(order), self.batch_size):
             chunk = order[start:start + self.batch_size]
             if len(chunk) < self.batch_size and self.drop_last:

@@ -8,3 +8,4 @@ from gfe_mamba_tpu.parallel.sharding import (
     infer_param_shardings,
     apply_param_shardings,
 )
+from gfe_mamba_tpu.parallel import multihost

@@ -25,23 +25,35 @@ from gfe_mamba_tpu.data.datasets import form_dataloader
 from gfe_mamba_tpu.losses.perceptual import PerceptualLoss
 from gfe_mamba_tpu.models.discriminator import PatchDiscriminator
 from gfe_mamba_tpu.models.unet3d import ResidualMidUNet3DViT
-from gfe_mamba_tpu.parallel.mesh import make_mesh, shard_batch
+from gfe_mamba_tpu.parallel import multihost
+from gfe_mamba_tpu.parallel.mesh import make_mesh
 from gfe_mamba_tpu.training.checkpoint import Checkpointer, save_params_npz
 from gfe_mamba_tpu.training.gan_trainer import GanTrainer
 from gfe_mamba_tpu.utils.experiment import ExperimentDir, save_volume_grid
 
 
 def main(args):
+    multihost.initialize()  # no-op single-process (multihost.py docstring)
     cf = load_config(args.config_path)
     exp = ExperimentDir(args.config_path, cf.get("project_dir", "weights"),
                         is_debug=cf.get("is_debug", False),
                         log_with=cf.get("log_with", ""),
                         program_name="main_gan_vit")
 
+    # per-process batch + disjoint dataset shard (multi-host DDP role of
+    # Accelerate, reference main_gan_vit.py:31)
+    nproc = jax.process_count()
+    shard = (jax.process_index(), nproc) if nproc > 1 else None
+    if cf["train_bc"] % max(nproc, 1):
+        raise ValueError(f"train_bc {cf['train_bc']} not divisible by "
+                         f"{nproc} processes")
+    local_bc = cf["train_bc"] // max(nproc, 1)
+
     img_sz = tuple(cf["img_sz"])
-    train_loader = form_dataloader(cf["train_path"], img_sz, cf["train_bc"],
-                                   shuffle=True,
-                                   num_workers=cf.get("num_workers", 2))
+    train_loader = form_dataloader(cf["train_path"], img_sz, local_bc,
+                                   shuffle=True, seed=cf.get("seed", 0),
+                                   num_workers=cf.get("num_workers", 2),
+                                   process_shard=shard)
     val_loader = form_dataloader(cf["eval_path"], img_sz, cf["eval_bc"],
                                  shuffle=False,
                                  num_workers=cf.get("num_workers", 2))
@@ -80,12 +92,14 @@ def main(args):
     for epoch in range(num_epochs):
         adv_on = jnp.float32(1.0 if (epoch + 1) > warmup else 0.0)
         for step, batch in enumerate(train_loader):
-            batch = shard_batch(
+            # local per-process rows -> one globally-sharded batch
+            batch = multihost.form_global_array(
                 {"image": batch["image"], "label": batch["label"]}, mesh)
             rng, step_rng = jax.random.split(rng)
             state, logs = trainer.train_step(
                 state, batch["image"], batch["label"], adv_on, step_rng)
-            if global_step % cf.get("log_every", 10) == 0:
+            if (multihost.is_main_process()
+                    and global_step % cf.get("log_every", 10) == 0):
                 logs = {k: float(v) for k, v in logs.items()}
                 exp.log_scalars(logs, global_step)
                 print(f"epoch {epoch + 1} step {step}: "
