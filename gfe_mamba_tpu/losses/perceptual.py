@@ -49,7 +49,11 @@ class SqueezeFeatures(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> list[Array]:
         taps = []
-        x = jax.nn.relu(nn.Conv(64, (3, 3), strides=(2, 2), name="conv1")(x))
+        # torchvision SqueezeNet-1.1 conv1 is UNpadded (Conv2d(3, 64, 3,
+        # stride=2)); flax defaults to SAME -- use VALID for parity with
+        # converted checkpoints (tools/convert_squeezenet.py)
+        x = jax.nn.relu(nn.Conv(64, (3, 3), strides=(2, 2),
+                                padding="VALID", name="conv1")(x))
         taps.append(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2))
         x = Fire(16, 64, name="fire1")(x)
