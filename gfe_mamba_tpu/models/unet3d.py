@@ -74,6 +74,7 @@ class UNet(nn.Module):
     dropout_prob: float = 0.1
     dims: int = 3
     exact_reference_upsample: bool = False
+    conv_impl: str = "auto"   # 'auto'|'xla'|'fused' (ops/blocks.py)
     mid: str = "none"
     # ViT bottleneck settings (reference model.py:107-117)
     fold_factor: int = 8
@@ -95,13 +96,14 @@ class UNet(nn.Module):
             self.f_maps, self.basic_module, self.conv_kernel_size,
             self.conv_padding, self.conv_upscale, self.dropout_prob,
             self.layer_order, self.num_groups, self.pool_kernel_size,
-            self.dims,
+            self.dims, conv_impl=self.conv_impl,
         )
         decoders = make_decoder_stack(
             self.f_maps, self.basic_module, self.conv_kernel_size,
             self.conv_padding, self.layer_order, self.num_groups,
             self.upsample, self.dropout_prob, self.dims,
             exact_reference_upsample=self.exact_reference_upsample,
+            conv_impl=self.conv_impl,
         )
 
         encoders_features: list[Array] = []

@@ -31,7 +31,56 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from gfe_mamba_tpu.ops.pallas.conv3d import conv3x3x3, group_norm_stats
+
 Array = jax.Array
+
+
+def resolve_conv_impl(conv_impl: str, dims: int, kernel_size: int,
+                      padding) -> str:
+    '''Resolve the 'auto' conv implementation choice (static at trace).
+
+    'fused' = the Pallas fused GN+conv+act kernel
+    (ops/pallas/conv3d.py) -- only for the 3D 3^3 SAME-padded stride-1
+    convs the GFE-Mamba generator uses, and only on TPU backends where
+    the XLA GN->conv fusion pathology exists (PERF_NOTES.md).'''
+    eligible = dims == 3 and kernel_size == 3 and padding == 1
+    if conv_impl == "auto":
+        backend = jax.default_backend()
+        return "fused" if (eligible and backend in ("tpu", "axon")) else "xla"
+    if conv_impl == "fused" and not eligible:
+        return "xla"
+    return conv_impl
+
+
+class _GroupNormParams(nn.Module):
+    '''Parameter twin of nn.GroupNorm (same names/shapes/init) for the
+    fused path, where the normalization itself runs inside the kernel.'''
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return scale, bias
+
+
+class _ConvParams(nn.Module):
+    '''Parameter twin of nn.Conv (same names/shapes/init).'''
+
+    features: int
+    kernel_size: tuple
+    use_bias: bool
+
+    @nn.compact
+    def __call__(self, in_ch: int):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            self.kernel_size + (in_ch, self.features))
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,)) if self.use_bias else None
+        return kernel, bias
 
 
 def _nonlinearity(char: str) -> Callable[[Array], Array]:
@@ -65,6 +114,35 @@ class SingleConv(nn.Module):
     padding: int = 1
     dropout_prob: float = 0.1
     dims: int = 3
+    # 'auto' | 'xla' | 'fused' -- see resolve_conv_impl
+    conv_impl: str = "auto"
+
+    def _fused_unit(self, x: Array, gn_index: "int | None",
+                    act: "str | None", use_bias: bool) -> Array:
+        """GN(opt) + 3^3 conv + activation(opt) as one Pallas kernel
+        (param tree identical to the nn.GroupNorm/nn.Conv path)."""
+        kernel, bias = _ConvParams(
+            self.out_channels, (self.kernel_size,) * self.dims, use_bias,
+            name="conv")(x.shape[-1])
+        dt = jnp.promote_types(x.dtype, kernel.dtype)  # flax promotion
+        x = x.astype(dt)
+        pre_scale = pre_shift = None
+        if gn_index is not None:
+            num_channels = x.shape[-1]
+            groups = (self.num_groups if num_channels >= self.num_groups
+                      else 1)
+            assert num_channels % groups == 0
+            scale, gbias = _GroupNormParams(
+                num_channels, name=f"groupnorm_{gn_index}")()
+            mu, rstd = group_norm_stats(x, groups, eps=1e-5)
+            pre_scale = rstd * scale.astype(jnp.float32)[None, :]
+            pre_shift = (gbias.astype(jnp.float32)[None, :]
+                         - mu * pre_scale)
+        return conv3x3x3(x, kernel.astype(dt),
+                         None if bias is None else bias.astype(dt),
+                         pre_scale, pre_shift,
+                         {"r": "relu", "e": "elu", "l": "leaky001",
+                          None: "none"}[act])
 
     @nn.compact
     def __call__(self, x: Array, *, deterministic: bool = True) -> Array:
@@ -74,7 +152,26 @@ class SingleConv(nn.Module):
         )
         use_bias = not ("g" in self.order or "b" in self.order)
         conv_pos = self.order.index("c")
+
+        impl = resolve_conv_impl(self.conv_impl, self.dims,
+                                 self.kernel_size, self.padding)
+        fused = set()
+        fuse_gn = fuse_act = None
+        if impl == "fused":
+            fused.add(conv_pos)
+            if conv_pos > 0 and self.order[conv_pos - 1] == "g":
+                fuse_gn = conv_pos - 1
+                fused.add(fuse_gn)
+            if (conv_pos + 1 < len(self.order)
+                    and self.order[conv_pos + 1] in "rle"):
+                fuse_act = self.order[conv_pos + 1]
+                fused.add(conv_pos + 1)
+
         for i, char in enumerate(self.order):
+            if i in fused:
+                if char == "c":
+                    x = self._fused_unit(x, fuse_gn, fuse_act, use_bias)
+                continue
             if char in "rle":
                 x = _nonlinearity(char)(x)
             elif char == "c":
@@ -137,6 +234,7 @@ class DoubleConv(nn.Module):
     upscale: int = 2
     dropout_prob: float | Sequence[float] = 0.1
     dims: int = 3
+    conv_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x: Array, *, deterministic: bool = True) -> Array:
@@ -158,11 +256,13 @@ class DoubleConv(nn.Module):
 
         x = SingleConv(
             conv1_out, self.kernel_size, self.order, self.num_groups,
-            self.padding, p1, self.dims, name="SingleConv1",
+            self.padding, p1, self.dims, conv_impl=self.conv_impl,
+            name="SingleConv1",
         )(x, deterministic=deterministic)
         x = SingleConv(
             self.out_channels, self.kernel_size, self.order, self.num_groups,
-            self.padding, p2, self.dims, name="SingleConv2",
+            self.padding, p2, self.dims, conv_impl=self.conv_impl,
+            name="SingleConv2",
         )(x, deterministic=deterministic)
         return x
 
@@ -177,6 +277,7 @@ class ResNetBlock(nn.Module):
     order: str = "cge"
     num_groups: int = 8
     dims: int = 3
+    conv_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x: Array, *, deterministic: bool = True) -> Array:
@@ -189,14 +290,14 @@ class ResNetBlock(nn.Module):
 
         out = SingleConv(
             self.out_channels, self.kernel_size, self.order, self.num_groups,
-            dims=self.dims, name="conv2",
+            dims=self.dims, conv_impl=self.conv_impl, name="conv2",
         )(residual, deterministic=deterministic)
         n_order = self.order
         for c in "rel":
             n_order = n_order.replace(c, "")
         out = SingleConv(
             self.out_channels, self.kernel_size, n_order, self.num_groups,
-            dims=self.dims, name="conv3",
+            dims=self.dims, conv_impl=self.conv_impl, name="conv3",
         )(out, deterministic=deterministic)
 
         out = out + residual
@@ -258,12 +359,13 @@ class ResNetBlockSE(nn.Module):
     num_groups: int = 8
     se_module: str = "scse"
     dims: int = 3
+    conv_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x: Array, *, deterministic: bool = True) -> Array:
         out = ResNetBlock(
             self.out_channels, self.kernel_size, self.order, self.num_groups,
-            self.dims, name="block",
+            self.dims, conv_impl=self.conv_impl, name="block",
         )(x, deterministic=deterministic)
         if self.se_module == "scse":
             out = ChannelSpatialSELayer(reduction_ratio=1, name="se")(out)
@@ -285,23 +387,24 @@ _BASIC_MODULES = {
 
 def _make_basic(basic_module: str, out_channels: int, *, encoder: bool,
                 kernel_size, order, num_groups, padding, upscale,
-                dropout_prob, dims, name):
+                dropout_prob, dims, name, conv_impl="auto"):
     """Instantiate a basic block by name, passing only the args it takes."""
     if basic_module == "DoubleConv":
         return DoubleConv(
             out_channels, encoder=encoder, kernel_size=kernel_size,
             order=order, num_groups=num_groups, padding=padding,
-            upscale=upscale, dropout_prob=dropout_prob, dims=dims, name=name,
+            upscale=upscale, dropout_prob=dropout_prob, dims=dims,
+            conv_impl=conv_impl, name=name,
         )
     if basic_module == "ResNetBlock":
         return ResNetBlock(
             out_channels, kernel_size=kernel_size, order=order,
-            num_groups=num_groups, dims=dims, name=name,
+            num_groups=num_groups, dims=dims, conv_impl=conv_impl, name=name,
         )
     if basic_module == "ResNetBlockSE":
         return ResNetBlockSE(
             out_channels, kernel_size=kernel_size, order=order,
-            num_groups=num_groups, dims=dims, name=name,
+            num_groups=num_groups, dims=dims, conv_impl=conv_impl, name=name,
         )
     raise ValueError(f"unknown basic_module {basic_module!r}")
 
@@ -321,6 +424,7 @@ class Encoder(nn.Module):
     upscale: int = 2
     dropout_prob: float = 0.1
     dims: int = 3
+    conv_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x: Array, *, deterministic: bool = True) -> Array:
@@ -335,7 +439,7 @@ class Encoder(nn.Module):
             kernel_size=self.conv_kernel_size, order=self.order,
             num_groups=self.num_groups, padding=self.padding,
             upscale=self.upscale, dropout_prob=self.dropout_prob,
-            dims=self.dims, name="basic_module",
+            dims=self.dims, conv_impl=self.conv_impl, name="basic_module",
         )
         return block(x, deterministic=deterministic)
 
@@ -385,6 +489,7 @@ class Decoder(nn.Module):
     upsample: str = "default"
     dropout_prob: float = 0.1
     dims: int = 3
+    conv_impl: str = "auto"
     # False (default, TPU-fast): asymmetric deconv padding (1,0) emits
     # exactly 2n samples -- even tile-friendly sizes, no resize.  True:
     # reproduce the reference's torch workaround exactly (symmetric
@@ -436,7 +541,7 @@ class Decoder(nn.Module):
             kernel_size=self.conv_kernel_size, order=self.order,
             num_groups=self.num_groups, padding=self.padding, upscale=2,
             dropout_prob=self.dropout_prob, dims=self.dims,
-            name="basic_module",
+            conv_impl=self.conv_impl, name="basic_module",
         )
         return block(x, deterministic=deterministic)
 
@@ -445,7 +550,7 @@ def make_encoder_stack(f_maps: Sequence[int], basic_module: str,
                        conv_kernel_size: int, conv_padding: int,
                        conv_upscale: int, dropout_prob, layer_order: str,
                        num_groups: int, pool_kernel_size: int,
-                       dims: int) -> list[Encoder]:
+                       dims: int, conv_impl: str = "auto") -> list[Encoder]:
     """Mirror of reference create_encoders (buildingblocks.py:403-435)."""
     encoders = []
     for i, out_feature_num in enumerate(f_maps):
@@ -461,6 +566,7 @@ def make_encoder_stack(f_maps: Sequence[int], basic_module: str,
             upscale=conv_upscale,
             dropout_prob=dropout_prob,
             dims=dims,
+            conv_impl=conv_impl,
             name=f"encoder_{i}",
         ))
     return encoders
@@ -470,8 +576,8 @@ def make_decoder_stack(f_maps: Sequence[int], basic_module: str,
                        conv_kernel_size: int, conv_padding: int,
                        layer_order: str, num_groups: int, upsample: str,
                        dropout_prob, dims: int,
-                       exact_reference_upsample: bool = False
-                       ) -> list[Decoder]:
+                       exact_reference_upsample: bool = False,
+                       conv_impl: str = "auto") -> list[Decoder]:
     """Mirror of reference create_decoders (buildingblocks.py:438-461)."""
     decoders = []
     reversed_f_maps = list(reversed(f_maps))
@@ -487,6 +593,7 @@ def make_decoder_stack(f_maps: Sequence[int], basic_module: str,
             dropout_prob=dropout_prob,
             dims=dims,
             exact_reference_upsample=exact_reference_upsample,
+            conv_impl=conv_impl,
             name=f"decoder_{i}",
         ))
     return decoders

@@ -1,0 +1,301 @@
+"""Fused (GroupNorm-apply +) 3x3x3 conv (+ bias + activation) TPU kernel.
+
+Why this exists: on the v5e, a bare channels-last 3^3 conv at the
+flagship's full-resolution shapes runs at ~39% of bf16 peak (14 ms at
+(2,160,160,96,64)->64), but the moment a GroupNorm sits between two
+convs XLA's fusion entangles the normalization reductions with the
+conv and the SAME conv runs at 8-16% (69-80 ms measured; an
+optimization_barrier only gets it back to 41 ms because a conv reading
+a materialized buffer pays a ~21 ms relayout).  The reference trains
+exactly that pattern everywhere: SingleConv order 'gcr'/'cge'
+(pytorch3dunet/unet3d/buildingblocks.py:50-115).
+
+This kernel breaks the pathology by doing the whole unit as one Pallas
+custom call: the GN *apply* is folded into the producer pad as a
+per-(batch, channel) affine, and the conv + bias + activation run
+tile-resident in VMEM as 9 accumulated (M, 3C) @ (3C, F) MXU GEMMs
+(the three z-taps of each (dx, dy) are concatenated along the lane dim
+so the contraction is 3C wide instead of C).
+
+Layout: channels-last (B, X, Y, Z, C), SAME padding, stride 1 -- the
+only 3D conv shape the GFE-Mamba generator uses.  Weights are flax
+HWDIO (3, 3, 3, C, F).
+
+Gradients: ``conv3x3x3`` carries a custom_vjp whose backward is the
+XLA formulation (jax.vjp of the reference implementation) -- training
+works everywhere; the forward win is what the inference/serving path
+and the fwd half of training see.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+_ACTS = ("none", "relu", "elu", "leaky01", "leaky001")
+
+
+def _apply_act(y: Array, act: str) -> Array:
+    if act == "none":
+        return y
+    if act == "relu":
+        return jnp.maximum(y, 0.0)
+    if act == "elu":
+        # no expm1 lowering in Mosaic: write via exp (CLAUDE.md gotcha)
+        return jnp.where(y > 0, y, jnp.exp(jnp.minimum(y, 0.0)) - 1.0)
+    if act == "leaky01":
+        return jnp.where(y > 0, y, 0.1 * y)
+    if act == "leaky001":
+        return jnp.where(y > 0, y, 0.01 * y)
+    raise ValueError(f"unknown activation {act!r}")
+
+
+def _kernel(w_ref, b_ref, x_ref, out_ref, in_buf, a4_buf, sem, *, XT, YT,
+            ZH, C, F, act, out_dtype):
+    """One (b, i, j) output tile.
+
+    z-pairs are packed into the lane dim outside the kernel (fine z =
+    2*zh + h, lane index h*C + c), so lanes are 2C >= 128 -- this both
+    satisfies the DMA lane-alignment rule and fills the MXU's 128
+    output lanes (2F wide) that a bare C=64 conv would leave half
+    empty.  Cost: the 4-slot K layout carries 25% structural zeros
+    (4/3 FLOP inflation) -- a bargain against the 5x GN->conv XLA
+    fusion pathology this kernel replaces.
+    """
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    nx, ny, nb = pl.num_programs(1), pl.num_programs(2), pl.num_programs(0)
+    step = (b * nx + i) * ny + j
+    slot = jax.lax.rem(step, 2)
+
+    def start_dma(s, bb, ii, jj):
+        pltpu.make_async_copy(
+            x_ref.at[bb, pl.ds(ii * XT, XT + 2), pl.ds(jj * YT, YT + 2)],
+            in_buf.at[s], sem.at[s]).start()
+
+    # double-buffered input pipeline: this tile's DMA was started by the
+    # previous step (except step 0); kick off the next tile's before
+    # computing
+    @pl.when(step == 0)
+    def _():
+        start_dma(0, b, i, j)
+
+    nj = jax.lax.rem(j + 1, ny)
+    carry_i = (j + 1) // ny
+    ni_ = jax.lax.rem(i + carry_i, nx)
+    nb_ = b + (i + carry_i) // nx
+
+    pltpu.make_async_copy(
+        x_ref.at[b, pl.ds(i * XT, XT + 2), pl.ds(j * YT, YT + 2)],
+        in_buf.at[slot], sem.at[slot]).wait()
+
+    @pl.when(nb_ < nb)
+    def _():
+        start_dma(1 - slot, nb_, ni_, nj)
+
+    # z-expand ONCE per tile over the full halo'd extent: K slots for
+    # output row zh are [zh(h1) | zh+1(h0) | zh+1(h1) | zh+2(h0)]
+    # (staged via stores -- Mosaic cannot combine vectors with
+    # mismatched sublane offsets directly)
+    slab = in_buf[slot]
+    a4_buf[:, :, :, 0 * C:1 * C] = slab[:, :, 0:ZH, C:2 * C]
+    a4_buf[:, :, :, 1 * C:3 * C] = slab[:, :, 1:ZH + 1, :]
+    a4_buf[:, :, :, 3 * C:4 * C] = slab[:, :, 2:ZH + 2, 0:C]
+
+    acc = jnp.zeros((XT, YT, ZH, 2 * F), jnp.float32)
+    for dx in range(3):
+        for dy in range(3):
+            acc += jax.lax.dot_general(
+                a4_buf[dx:dx + XT, dy:dy + YT], w_ref[dx * 3 + dy],
+                (((3,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+    acc += b_ref[0].astype(jnp.float32)
+    acc = _apply_act(acc, act)
+    out_ref[0] = acc.astype(out_dtype)
+
+
+def _pack_weights(w, dtype):
+    """(3,3,3,C,F) -> (9, 4C, 2F) for the z-pair-packed GEMM.
+
+    Output lane h*F+f with tap displacement da = dz-1 reads K slot
+    s = h + dz - 1 + 1 = h + dz (s in 0..3)."""
+    C, F = w.shape[-2:]
+    w4 = jnp.zeros((3, 3, 4, C, 2, F), dtype)
+    wt = w.astype(dtype)
+    for dz in range(3):
+        for h in range(2):
+            w4 = w4.at[:, :, h + dz, :, h, :].set(wt[:, :, dz])
+    return w4.reshape(3, 3, 4 * C, 2 * F).reshape(9, 4 * C, 2 * F)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("act", "out_dtype", "xt", "yt", "interpret"))
+def _conv3x3x3_fused(x, w, bias, pre_scale, pre_shift, *, act="none",
+                     out_dtype=None, xt=8, yt=8, interpret=False):
+    """act(conv3d(x * pre_scale + pre_shift, w) + bias), SAME, stride 1.
+
+    x: (B, X, Y, Z, C) with Z even; w: (3,3,3,C,F); bias: (F,) or None;
+    pre_scale/pre_shift: (B, C) or None (the folded GN apply).
+    """
+    B, X, Y, Z, C = x.shape
+    F = w.shape[-1]
+    assert Z % 2 == 0, "z-pair packing needs even Z"
+    out_dtype = out_dtype or x.dtype
+    XT, YT = xt, yt
+    nx, ny = pl.cdiv(X, XT), pl.cdiv(Y, YT)
+    ZH = Z // 2
+    ZP = -(-(ZH + 2) // 8) * 8   # packed z rows incl. halo, 8-aligned
+
+    # fold the GN apply into the pad producer (one fused XLA pass)
+    if pre_scale is not None:
+        xs = x * pre_scale[:, None, None, None, :].astype(x.dtype)
+    else:
+        xs = x
+    if pre_shift is not None:
+        xs = xs + pre_shift[:, None, None, None, :].astype(x.dtype)
+    pad = ((0, 0), (1, nx * XT - X + 1), (1, ny * YT - Y + 1),
+           (2, 2 * ZP - Z - 2), (0, 0))
+    xp = jnp.pad(xs, pad)
+    xp = xp.reshape(B, nx * XT + 2, ny * YT + 2, ZP, 2 * C)
+
+    wr = _pack_weights(w, x.dtype)
+    b_in = (bias if bias is not None else jnp.zeros((F,), x.dtype))
+    b_in = jnp.tile(b_in.astype(x.dtype), 2).reshape(1, 2 * F)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, XT=XT, YT=YT, ZH=ZH, C=C, F=F, act=act,
+                          out_dtype=out_dtype),
+        grid=(B, nx, ny),
+        in_specs=[
+            pl.BlockSpec((9, 4 * C, 2 * F), lambda b, i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * F), lambda b, i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, XT, YT, ZH, 2 * F), lambda b, i, j: (b, i, j, 0, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, nx * XT, ny * YT, ZH, 2 * F),
+                                       out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, XT + 2, YT + 2, ZP, 2 * C), x.dtype),
+            pltpu.VMEM((XT + 2, YT + 2, ZH, 4 * C), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * X * Y * Z * 36 * C * F,
+            bytes_accessed=(xp.size + B * X * Y * Z * F) * x.dtype.itemsize,
+            transcendentals=B * X * Y * Z * F if act == "elu" else 0,
+        ),
+        interpret=interpret,
+    )(wr, b_in, xp)
+    out = out.reshape(B, nx * XT, ny * YT, Z, F)
+    return out[:, :X, :Y]
+
+
+def _reference_impl(x, w, bias, pre_scale, pre_shift, act):
+    """XLA twin of the fused kernel (used for the VJP and as the
+    fallback on non-TPU backends)."""
+    if pre_scale is not None:
+        x = x * pre_scale[:, None, None, None, :].astype(x.dtype)
+    if pre_shift is not None:
+        x = x + pre_shift[:, None, None, None, :].astype(x.dtype)
+    y = jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), (1, 1, 1), [(1, 1)] * 3,
+        dimension_numbers=("NHWDC", "HWDIO", "NHWDC"),
+        preferred_element_type=jnp.float32)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    y = _apply_act(y, act)
+    return y.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def conv3x3x3(x, w, bias, pre_scale, pre_shift, act="none"):
+    """Fused act(conv3d(x*scale+shift, w)+bias); channels-last, SAME,
+    stride 1.  Pallas forward on TPU, XLA elsewhere; XLA backward."""
+    return _dispatch(x, w, bias, pre_scale, pre_shift, act)
+
+
+def _dispatch(x, w, bias, pre_scale, pre_shift, act):
+    platform = jax.devices()[0].platform
+    Z, C = x.shape[3], x.shape[4]
+    vmem_ok = _vmem_estimate(
+        x.shape, w.shape, itemsize=x.dtype.itemsize) < 13 * 2 ** 20
+    if (platform in ("tpu", "axon") and Z % 2 == 0 and vmem_ok
+            and 2 * C >= 128 and C % 64 == 0):
+        return _conv3x3x3_fused(x, w, bias, pre_scale, pre_shift, act=act)
+    return _reference_impl(x, w, bias, pre_scale, pre_shift, act)
+
+
+def _vmem_estimate(x_shape, w_shape, xt=8, yt=8, itemsize=2):
+    B, X, Y, Z, C = x_shape
+    F = w_shape[-1]
+    zh = Z // 2
+    zp = -(-(zh + 2) // 8) * 8
+    it = itemsize
+    return (2 * (xt + 2) * (yt + 2) * zp * 2 * C * it      # in_buf x2
+            + (xt + 2) * (yt + 2) * zh * 4 * C * it        # a4
+            + xt * yt * zh * 2 * F * 4                     # acc
+            + xt * yt * zh * 2 * F * it                    # out
+            + 9 * 4 * C * 2 * F * it)                      # w
+
+
+def _fwd(x, w, bias, pre_scale, pre_shift, act):
+    out = _dispatch(x, w, bias, pre_scale, pre_shift, act)
+    return out, (x, w, bias, pre_scale, pre_shift)
+
+
+def _bwd(act, res, g):
+    x, w, bias, pre_scale, pre_shift = res
+    _, vjp = jax.vjp(
+        lambda *a: _reference_impl(*a, act), x, w, bias, pre_scale,
+        pre_shift)
+    grads = vjp(g.astype(x.dtype))
+    # None-positional args produce zero-grads; map back to None shape
+    out = []
+    for orig, grad in zip((x, w, bias, pre_scale, pre_shift), grads):
+        out.append(None if orig is None else grad)
+    return tuple(out)
+
+
+conv3x3x3.defvjp(_fwd, _bwd)
+
+
+def group_norm_stats(x: Array, num_groups: int, eps: float = 1e-5):
+    """Per-(batch, channel) GN affine folded with (gamma, beta) left to
+    the caller: returns (mu, rstd) each (B, C) in f32, exactly the
+    torch/flax GroupNorm statistics (reduce over spatial dims and the
+    channels of each group)."""
+    B, C = x.shape[0], x.shape[-1]
+    per = C // num_groups
+    xf = x.astype(jnp.float32).reshape(B, -1, num_groups, per)
+    mu = xf.mean(axis=(1, 3))                       # (B, G)
+    var = (xf * xf).mean(axis=(1, 3)) - mu * mu
+    rstd = jax.lax.rsqrt(var + eps)
+    mu = jnp.repeat(mu, per, axis=-1)               # (B, C)
+    rstd = jnp.repeat(rstd, per, axis=-1)
+    return mu, rstd
+
+
+def fused_gn_conv_act(x: Array, *, num_groups: int, gamma: Array,
+                      beta: Array, w: Array, bias: Optional[Array],
+                      act: str = "none", eps: float = 1e-5) -> Array:
+    """act(conv3d(GroupNorm(x; gamma, beta), w) + bias) -- the 'g c ?'
+    unit of the reference order DSL (buildingblocks.py:89-115) as one
+    fused op."""
+    mu, rstd = group_norm_stats(x, num_groups, eps)
+    a = rstd * gamma.astype(jnp.float32)[None, :]       # (B, C)
+    b = beta.astype(jnp.float32)[None, :] - mu * a
+    return conv3x3x3(x, w, bias, a, b, act)
