@@ -47,8 +47,9 @@ def build(small: bool):
         model = build_gfe_mamba(categories=cats, num_continuous=40, dim=512,
                                 depth=6, heads=8, seq_length=4,
                                 f_maps=(64, 128, 256))
-        # batch 4 crashes this environment's remote-compile helper
-        img_sz, n_cont, batch = (160, 160, 96), 40, 2
+        # batch sweep (round 2): b2 10.4, b4 12.0, b6 11.7 vol/s; the
+        # round-1 batch-4 remote-compile crash is gone
+        img_sz, n_cont, batch = (160, 160, 96), 40, 4
 
     params = model.init(
         jax.random.key(0),
@@ -143,12 +144,30 @@ def main():
         if base > 0:
             vs_baseline = vps / base
 
-    print(json.dumps({
+    # MFU: analytic model FLOPs per volume / v5e bf16 peak.  Counted:
+    # every conv/deconv in the generator + the classifier's matmul
+    # surface is <1% -- see PERF_NOTES.md stage table.
+    mfu = None
+    if not args.quick:
+        vox = 160 * 160 * 96
+        gen_flops = (
+            4 * vox * 27 * 64 * 64 * 2            # enc1 + dec1 3^3 convs
+            + 4 * (vox // 8) * 27 * 128 * 128 * 2  # enc2 + dec0
+            + 2 * (vox // 64) * 27 * 256 * 256 * 2  # enc3
+            + vox * 27 // 8 * 128 * 64 * 2          # deconv full
+            + (vox // 8) * 27 // 8 * 256 * 128 * 2  # deconv half
+            + vox * (64 + 64) * 2)                  # 1x1 shortcut+final
+        mfu = 100 * gen_flops * vps / 197e12
+    out = {
         "metric": "e2e_mri_volumes_per_sec_per_chip",
         "value": round(vps, 4),
         "unit": "volumes/s",
         "vs_baseline": round(vs_baseline, 2),
-    }))
+    }
+    if mfu is not None:
+        out["mfu_pct"] = round(mfu, 1)
+        out["batch"] = batch
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -29,7 +29,8 @@ import jax.numpy as jnp
 from einops import rearrange
 from flax import linen as nn
 
-from gfe_mamba_tpu.ops.blocks import make_decoder_stack, make_encoder_stack
+from gfe_mamba_tpu.ops.blocks import (
+    DotConv1x1, make_decoder_stack, make_encoder_stack, resolve_conv_impl)
 from gfe_mamba_tpu.models.vit import ImageToImageViT
 
 Array = jax.Array
@@ -134,7 +135,13 @@ class UNet(nn.Module):
             if output_mid:
                 decoders_features.append(x)
 
-        x = nn.Conv(self.out_channels, (1,) * self.dims, name="final_conv")(x)
+        if resolve_conv_impl(self.conv_impl, self.dims, 3,
+                             self.conv_padding) == "fused":
+            x = DotConv1x1(self.out_channels, self.dims,
+                           name="final_conv")(x)
+        else:
+            x = nn.Conv(self.out_channels, (1,) * self.dims,
+                        name="final_conv")(x)
 
         # final activation only outside training (model.py:273-276)
         if not train and self.is_segmentation:

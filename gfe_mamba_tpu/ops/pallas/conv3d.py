@@ -156,17 +156,21 @@ def _conv3x3x3_fused(x, w, bias, pre_scale, pre_shift, *, act="none",
     ZH = Z // 2
     ZP = -(-(ZH + 2) // 8) * 8   # packed z rows incl. halo, 8-aligned
 
-    # fold the GN apply into the pad producer (one fused XLA pass)
+    # z-pack FIRST via a free bitcast reshape -- every intermediate then
+    # has a 128-multiple minor dim (a (..., Z, 64) layout tile-pads
+    # lanes 64->128 and doubles HBM), THEN fold the GN apply + halo pad
+    # into one fused producer pass.  One packed row of zero padding in
+    # front == two fine-z zeros.
+    xv = x.reshape(B, X, Y, ZH, 2 * C)
     if pre_scale is not None:
-        xs = x * pre_scale[:, None, None, None, :].astype(x.dtype)
-    else:
-        xs = x
+        a2 = jnp.tile(pre_scale, (1, 2)).astype(x.dtype)
+        xv = xv * a2[:, None, None, None, :]
     if pre_shift is not None:
-        xs = xs + pre_shift[:, None, None, None, :].astype(x.dtype)
+        b2 = jnp.tile(pre_shift, (1, 2)).astype(x.dtype)
+        xv = xv + b2[:, None, None, None, :]
     pad = ((0, 0), (1, nx * XT - X + 1), (1, ny * YT - Y + 1),
-           (2, 2 * ZP - Z - 2), (0, 0))
-    xp = jnp.pad(xs, pad)
-    xp = xp.reshape(B, nx * XT + 2, ny * YT + 2, ZP, 2 * C)
+           (1, ZP - ZH - 1), (0, 0))
+    xp = jnp.pad(xv, pad)
 
     wr = _pack_weights(w, x.dtype)
     b_in = (bias if bias is not None else jnp.zeros((F,), x.dtype))
@@ -280,10 +284,16 @@ def group_norm_stats(x: Array, num_groups: int, eps: float = 1e-5):
     channels of each group)."""
     B, C = x.shape[0], x.shape[-1]
     per = C // num_groups
-    xf = x.astype(jnp.float32).reshape(B, -1, num_groups, per)
-    mu = xf.mean(axis=(1, 3))                       # (B, G)
-    var = (xf * xf).mean(axis=(1, 3)) - mu * mu
-    rstd = jax.lax.rsqrt(var + eps)
+    spatial = tuple(range(1, x.ndim - 1))
+    # reduce per-channel FIRST (keeps the minor dim C -- a big
+    # (..., G, per) reshape materializes with 16x tile padding on TPU),
+    # then average channels within each group (equal weights -> exact)
+    xf = x.astype(jnp.float32)
+    mu_c = xf.mean(axis=spatial)                    # (B, C)
+    ex2_c = (xf * xf).mean(axis=spatial)
+    mu = mu_c.reshape(B, num_groups, per).mean(-1)  # (B, G)
+    ex2 = ex2_c.reshape(B, num_groups, per).mean(-1)
+    rstd = jax.lax.rsqrt(ex2 - mu * mu + eps)
     mu = jnp.repeat(mu, per, axis=-1)               # (B, C)
     rstd = jnp.repeat(rstd, per, axis=-1)
     return mu, rstd

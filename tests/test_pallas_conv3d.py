@@ -127,9 +127,11 @@ def test_resnetblock_fused_parity_and_grads():
 
     gx = jax.grad(loss)(p, m_x)
     gf = jax.grad(loss)(p, m_f)
+    # E[x^2]-mu^2 vs E[(x-mu)^2] GN-stats formulations differ at the
+    # ~1e-4 level in f32 gradients
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4), gx, gf)
+            np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-3), gx, gf)
 
 
 def test_group_norm_stats_match_flax():
@@ -142,3 +144,22 @@ def test_group_norm_stats_match_flax():
     got = (x - mu[:, None, None, None, :]) * rstd[:, None, None, None, :]
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_unet_fused_parity():
+    """Full tiny-UNet forward: conv_impl='fused' (XLA twin on CPU,
+    incl. DotConv1x1 shortcut/final paths) vs the nn.Conv path."""
+    from gfe_mamba_tpu.models.unet3d import UNet
+
+    x = _rand(0, (1, 8, 8, 4, 1))
+    kw = dict(out_channels=1, basic_module="ResNetBlock",
+              f_maps=(4, 8), layer_order="gcr", num_groups=2,
+              is_segmentation=False)
+    m_x = UNet(conv_impl="xla", **kw)
+    m_f = UNet(conv_impl="fused", **kw)
+    p = m_x.init(jax.random.key(0), x)
+    p2 = m_f.init(jax.random.key(0), x)
+    assert jax.tree_util.tree_structure(p) == jax.tree_util.tree_structure(p2)
+    np.testing.assert_allclose(
+        np.asarray(m_f.apply(p, x)), np.asarray(m_x.apply(p, x)),
+        atol=1e-5, rtol=1e-5)
