@@ -108,11 +108,19 @@ class DataLoader:
             yield chunk
 
     def _load_batch(self, indices, pool: Optional[ThreadPoolExecutor]):
-        if pool is not None:
-            items = list(pool.map(self.dataset.__getitem__, indices))
-        else:
-            items = [self.dataset[int(i)] for i in indices]
-        batch = _collate(items)
+        # dataset-level batch fast path (e.g. the C++ threaded NIfTI
+        # decoder, MRIClassifyDataset.load_batch); returns None when
+        # unavailable -> per-item decode below
+        batch = None
+        fast = getattr(self.dataset, "load_batch", None)
+        if fast is not None:
+            batch = fast(indices)
+        if batch is None:
+            if pool is not None:
+                items = list(pool.map(self.dataset.__getitem__, indices))
+            else:
+                items = [self.dataset[int(i)] for i in indices]
+            batch = _collate(items)
         if self.sharding is not None:
             import jax
             batch = {
