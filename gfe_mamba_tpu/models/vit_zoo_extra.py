@@ -1,0 +1,436 @@
+"""ViT zoo, round 2: the dormant vit_pytorch_diy variants most relevant
+to volumetric medical work plus two popular 2D members.
+
+Rebuilt TPU-first (channels-last, einsum attention, static shapes) from
+the reference's behavior -- NOT ports:
+
+* ``SimpleViT3D`` -- simple_vit_3d.py: cubic patches, fixed 3D sincos
+  position embedding, mean pool, linear head (no CLS, no dropout).
+* ``ViViT`` -- vivit.py: factorized spatio-temporal attention: tubelet
+  embedding, per-frame spatial transformer, then temporal transformer;
+  'cls' (two-level CLS tokens) or 'mean' pooling.
+* ``CCT`` / ``CCT3D`` -- cct.py / cct_3d.py: compact convolutional
+  tokenizer (conv(+ReLU)+maxpool stack) + transformer with stochastic
+  depth and attention sequence-pooling instead of a CLS token.
+* ``CaiT`` -- cait.py: patch self-attention stack with talking-heads +
+  LayerScale, then class-attention stages where only the CLS token
+  attends over frozen patch tokens.
+* ``DeepViT`` -- deepvit.py: re-attention (a learned head-mixing matrix
+  applied to the attention maps before the value product).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from einops import rearrange
+from flax import linen as nn
+
+from gfe_mamba_tpu.models.vit import ViTTransformer
+
+Array = jax.Array
+
+
+def _posemb_sincos_3d(f: int, h: int, w: int, dim: int,
+                      temperature: float = 10000.0) -> np.ndarray:
+    """Fixed 3D sincos embedding (simple_vit_3d.py:13-34): dim//6
+    frequencies per axis, concat (x.sin x.cos y.sin y.cos z.sin z.cos),
+    zero-padded when dim is not divisible by 6."""
+    zs, ys, xs = np.meshgrid(np.arange(f), np.arange(h), np.arange(w),
+                             indexing="ij")
+    fdim = dim // 6
+    omega = 1.0 / temperature ** (np.arange(fdim) / max(fdim - 1, 1))
+    out = []
+    for grid in (xs, ys, zs):
+        arg = grid.reshape(-1)[:, None] * omega[None, :]
+        out += [np.sin(arg), np.cos(arg)]
+    pe = np.concatenate(out, axis=1).astype(np.float32)
+    if pe.shape[1] < dim:
+        pe = np.pad(pe, ((0, 0), (0, dim - pe.shape[1])))
+    return pe
+
+
+class SimpleViT3D(nn.Module):
+    """simple_vit_3d.py: patchify -> LN/Linear/LN -> +sincos ->
+    transformer -> mean pool -> LN -> linear head."""
+
+    image_size: Sequence[int]        # (frames, height, width)
+    patch_size: Sequence[int]        # (pf, ph, pw)
+    num_classes: int
+    dim: int
+    depth: int
+    heads: int
+    mlp_dim: int
+    dim_head: int = 64
+
+    @nn.compact
+    def __call__(self, vol: Array, *, deterministic: bool = True) -> Array:
+        pf, ph, pw = self.patch_size
+        x = rearrange(vol, "b (f pf) (h p1) (w p2) c -> b (f h w) "
+                      "(pf p1 p2 c)", pf=pf, p1=ph, p2=pw)
+        x = nn.LayerNorm(name="patch_norm1")(x)
+        x = nn.Dense(self.dim, name="patch_embed")(x)
+        x = nn.LayerNorm(name="patch_norm2")(x)
+        f, h, w = (self.image_size[0] // pf, self.image_size[1] // ph,
+                   self.image_size[2] // pw)
+        x = x + jnp.asarray(_posemb_sincos_3d(f, h, w, self.dim))
+        x = ViTTransformer(self.depth, self.heads, self.dim_head,
+                           self.mlp_dim, name="transformer")(
+            x, deterministic=deterministic)
+        x = x.mean(axis=1)
+        return nn.Dense(self.num_classes, name="linear_head")(x)
+
+
+class ViViT(nn.Module):
+    """vivit.py factorized variant: tubelet embed -> spatial
+    transformer per frame -> temporal transformer -> head."""
+
+    image_size: Sequence[int]        # (height, width)
+    image_patch_size: Sequence[int]  # (ph, pw)
+    frames: int
+    frame_patch_size: int
+    num_classes: int
+    dim: int
+    spatial_depth: int
+    temporal_depth: int
+    heads: int
+    mlp_dim: int
+    dim_head: int = 64
+    pool: str = "cls"
+    dropout: float = 0.0
+    emb_dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, video: Array, *, deterministic: bool = True) -> Array:
+        """video: (B, frames, H, W, C) channels-last."""
+        assert self.pool in ("cls", "mean")
+        ph, pw = self.image_patch_size
+        pf = self.frame_patch_size
+        x = rearrange(video, "b (f pf) (h p1) (w p2) c -> b f (h w) "
+                      "(p1 p2 pf c)", pf=pf, p1=ph, p2=pw)
+        x = nn.LayerNorm(name="patch_norm1")(x)
+        x = nn.Dense(self.dim, name="patch_embed")(x)
+        x = nn.LayerNorm(name="patch_norm2")(x)
+        b, f, n, _ = x.shape
+        pos = self.param("pos_embedding", nn.initializers.normal(1.0),
+                         (1, f, n, self.dim))
+        x = x + pos
+        gap = self.pool == "mean"
+        if not gap:
+            s_cls = self.param("spatial_cls_token",
+                               nn.initializers.normal(1.0), (1, 1, self.dim))
+            x = jnp.concatenate(
+                [jnp.broadcast_to(s_cls[None], (b, f, 1, self.dim)), x],
+                axis=2)
+        x = nn.Dropout(self.emb_dropout)(x, deterministic=deterministic)
+
+        x = rearrange(x, "b f n d -> (b f) n d")
+        x = ViTTransformer(self.spatial_depth, self.heads, self.dim_head,
+                           self.mlp_dim, self.dropout,
+                           name="spatial_transformer")(
+            x, deterministic=deterministic)
+        x = rearrange(x, "(b f) n d -> b f n d", b=b)
+        x = x[:, :, 0] if not gap else x.mean(axis=2)   # (B, f, dim)
+
+        if not gap:
+            t_cls = self.param("temporal_cls_token",
+                               nn.initializers.normal(1.0), (1, 1, self.dim))
+            x = jnp.concatenate(
+                [jnp.broadcast_to(t_cls, (b, 1, self.dim)), x], axis=1)
+        x = ViTTransformer(self.temporal_depth, self.heads, self.dim_head,
+                           self.mlp_dim, self.dropout,
+                           name="temporal_transformer")(
+            x, deterministic=deterministic)
+        x = x[:, 0] if not gap else x.mean(axis=1)
+        return nn.Dense(self.num_classes, name="mlp_head")(x)
+
+
+class _ConvTokenizer(nn.Module):
+    """CCT tokenizer (cct.py Tokenizer): [conv -> ReLU -> maxpool] x n,
+    channels-last, output flattened to tokens."""
+
+    n_output_channels: int
+    n_conv_layers: int
+    kernel_size: int
+    stride: int
+    pooling_kernel_size: int
+    pooling_stride: int
+    in_planes: int = 64
+    dims: int = 2
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        chans = ([self.in_planes] * (self.n_conv_layers - 1)
+                 + [self.n_output_channels])
+        for i, ch in enumerate(chans):
+            x = nn.Conv(ch, (self.kernel_size,) * self.dims,
+                        strides=(self.stride,) * self.dims,
+                        padding=self.kernel_size // 2, use_bias=False,
+                        name=f"conv_{i}")(x)
+            x = jax.nn.relu(x)
+            x = nn.max_pool(
+                x, (self.pooling_kernel_size,) * self.dims,
+                strides=(self.pooling_stride,) * self.dims,
+                padding=((1, 1),) * self.dims)
+        return x.reshape(x.shape[0], -1, x.shape[-1])
+
+
+class CCT(nn.Module):
+    """Compact Convolutional Transformer (cct.py / cct_3d.py): conv
+    tokenizer, learnable pos embedding, transformer with stochastic
+    depth, attention seq-pool head (TransformerClassifier,
+    cct_3d.py:220-317)."""
+
+    num_classes: int
+    embedding_dim: int = 128
+    n_conv_layers: int = 2
+    kernel_size: int = 7
+    stride: int = 2
+    pooling_kernel_size: int = 3
+    pooling_stride: int = 2
+    num_layers: int = 7
+    num_heads: int = 4
+    mlp_ratio: float = 2.0
+    stochastic_depth: float = 0.1
+    dropout: float = 0.0
+    dims: int = 2
+
+    @nn.compact
+    def __call__(self, img: Array, *, deterministic: bool = True) -> Array:
+        x = _ConvTokenizer(
+            self.embedding_dim, self.n_conv_layers, self.kernel_size,
+            self.stride, self.pooling_kernel_size, self.pooling_stride,
+            dims=self.dims, name="tokenizer")(img)
+        n = x.shape[1]
+        pos = self.param("pos_embedding",
+                         nn.initializers.truncated_normal(0.2),
+                         (1, n, self.embedding_dim))
+        x = x + pos
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        dim_head = self.embedding_dim // self.num_heads
+        dpr = np.linspace(0, self.stochastic_depth, self.num_layers)
+        for i in range(self.num_layers):
+            h = nn.LayerNorm(name=f"norm1_{i}")(x)
+            h = nn.MultiHeadDotProductAttention(
+                num_heads=self.num_heads, qkv_features=self.embedding_dim,
+                dropout_rate=self.dropout, deterministic=deterministic,
+                name=f"attn_{i}")(h, h)
+            x = x + _drop_path(h, dpr[i], deterministic, self, f"dp1_{i}")
+            h = nn.LayerNorm(name=f"norm2_{i}")(x)
+            h = nn.Dense(int(self.embedding_dim * self.mlp_ratio),
+                         name=f"fc1_{i}")(h)
+            h = jax.nn.gelu(h)
+            h = nn.Dense(self.embedding_dim, name=f"fc2_{i}")(h)
+            x = x + _drop_path(h, dpr[i], deterministic, self, f"dp2_{i}")
+        x = nn.LayerNorm(name="final_norm")(x)
+        # attention sequence pooling (cct_3d.py:300-307)
+        attn = nn.Dense(1, name="attention_pool")(x)          # (B, N, 1)
+        attn = jax.nn.softmax(attn, axis=1)
+        x = jnp.einsum("bnl,bnd->bd", attn, x)
+        return nn.Dense(self.num_classes, name="fc")(x)
+
+
+def CCT3D(**kwargs) -> CCT:
+    """cct_3d.py: the same architecture with a 3D conv tokenizer."""
+    return CCT(dims=3, **kwargs)
+
+
+def _drop_path(h: Array, rate: float, deterministic: bool, mod: nn.Module,
+               name: str) -> Array:
+    """Per-sample stochastic depth (cct DropPath)."""
+    if deterministic or rate == 0.0:
+        return h
+    rng = mod.make_rng("dropout")
+    keep = jax.random.bernoulli(rng, 1.0 - rate,
+                                (h.shape[0],) + (1,) * (h.ndim - 1))
+    return h * keep / (1.0 - rate)
+
+
+class _TalkingHeadsAttention(nn.Module):
+    """CaiT attention: softmax(pre-mix(QK^T)) head-mixed again before V
+    (cait.py Attention with talking heads)."""
+
+    heads: int
+    dim_head: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: Array, context: Array | None = None,
+                 *, deterministic: bool = True) -> Array:
+        context = x if context is None else context
+        inner = self.heads * self.dim_head
+        q = nn.Dense(inner, use_bias=False, name="to_q")(x)
+        kv = nn.Dense(2 * inner, use_bias=False, name="to_kv")(context)
+        k, v = jnp.split(kv, 2, axis=-1)
+        q, k, v = (rearrange(t, "b n (h d) -> b h n d", h=self.heads)
+                   for t in (q, k, v))
+        logits = jnp.einsum("bhid,bhjd->bhij", q, k) * self.dim_head ** -0.5
+        mix_pre = self.param("mix_heads_pre",
+                             nn.initializers.normal(1.0),
+                             (self.heads, self.heads))
+        mix_post = self.param("mix_heads_post",
+                              nn.initializers.normal(1.0),
+                              (self.heads, self.heads))
+        logits = jnp.einsum("bhij,hg->bgij", logits, mix_pre)
+        attn = jax.nn.softmax(logits, axis=-1)
+        attn = jnp.einsum("bhij,hg->bgij", attn, mix_post)
+        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+        out = jnp.einsum("bhij,bhjd->bhid", attn, v)
+        out = rearrange(out, "b h n d -> b n (h d)")
+        return nn.Dense(x.shape[-1], name="to_out")(out)
+
+
+class _LayerScaleBlock(nn.Module):
+    """PreNorm block with LayerScale (cait.py LayerScale wrapper)."""
+
+    heads: int
+    dim_head: int
+    mlp_dim: int
+    depth_index: int
+    dropout: float = 0.0
+
+    def _scale_init(self):
+        # cait.py:16-23 depth-dependent init epsilon
+        d = self.depth_index
+        eps = 0.1 if d < 18 else (1e-5 if d > 24 else 1e-6)
+        return nn.initializers.constant(eps)
+
+    @nn.compact
+    def __call__(self, x: Array, context: Array | None = None,
+                 *, deterministic: bool = True) -> Array:
+        dim = x.shape[-1]
+        s1 = self.param("scale_attn", self._scale_init(), (dim,))
+        h = nn.LayerNorm(name="norm1")(x)
+        ctx = None if context is None else nn.LayerNorm(name="norm_ctx")(
+            context)
+        h = _TalkingHeadsAttention(
+            self.heads, self.dim_head, self.dropout, name="attn")(
+            h, ctx, deterministic=deterministic)
+        x = x + h * s1
+        s2 = self.param("scale_ff", self._scale_init(), (dim,))
+        h = nn.LayerNorm(name="norm2")(x)
+        h = nn.Dense(self.mlp_dim, name="ff1")(h)
+        h = jax.nn.gelu(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = nn.Dense(dim, name="ff2")(h)
+        return x + h * s2
+
+
+class CaiT(nn.Module):
+    """cait.py: patch transformer (talking heads + LayerScale), then
+    ``cls_depth`` class-attention layers where only the CLS token
+    queries the (frozen) patch tokens, then the head."""
+
+    image_size: int
+    patch_size: int
+    num_classes: int
+    dim: int
+    depth: int
+    cls_depth: int
+    heads: int
+    mlp_dim: int
+    dim_head: int = 64
+    dropout: float = 0.0
+    emb_dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, img: Array, *, deterministic: bool = True) -> Array:
+        p = self.patch_size
+        x = rearrange(img, "b (h p1) (w p2) c -> b (h w) (p1 p2 c)",
+                      p1=p, p2=p)
+        x = nn.Dense(self.dim, name="patch_embed")(x)
+        n = x.shape[1]
+        pos = self.param("pos_embedding", nn.initializers.normal(1.0),
+                         (1, n, self.dim))
+        x = x + pos
+        x = nn.Dropout(self.emb_dropout)(x, deterministic=deterministic)
+        for i in range(self.depth):
+            x = _LayerScaleBlock(self.heads, self.dim_head, self.mlp_dim,
+                                 i + 1, self.dropout, name=f"block_{i}")(
+                x, deterministic=deterministic)
+        cls = self.param("cls_token", nn.initializers.normal(1.0),
+                         (1, 1, self.dim))
+        cls = jnp.broadcast_to(cls, (x.shape[0], 1, self.dim))
+        for i in range(self.cls_depth):
+            cls = _LayerScaleBlock(
+                self.heads, self.dim_head, self.mlp_dim,
+                self.depth + i + 1, self.dropout, name=f"cls_block_{i}")(
+                cls, context=jnp.concatenate([cls, x], axis=1),
+                deterministic=deterministic)
+        cls = nn.LayerNorm(name="norm")(cls[:, 0])
+        return nn.Dense(self.num_classes, name="mlp_head")(cls)
+
+
+class _ReAttention(nn.Module):
+    """DeepViT re-attention (deepvit.py Attention): a learned
+    head-mixing conv over the softmaxed attention maps."""
+
+    heads: int
+    dim_head: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: Array, *, deterministic: bool = True) -> Array:
+        inner = self.heads * self.dim_head
+        qkv = nn.Dense(3 * inner, use_bias=False, name="to_qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q, k, v = (rearrange(t, "b n (h d) -> b h n d", h=self.heads)
+                   for t in (q, k, v))
+        attn = jax.nn.softmax(
+            jnp.einsum("bhid,bhjd->bhij", q, k) * self.dim_head ** -0.5,
+            axis=-1)
+        mix = self.param("reattn_weights", nn.initializers.normal(1.0),
+                         (self.heads, self.heads))
+        attn = jnp.einsum("bhij,hg->bgij", attn, mix)
+        # reattn_norm: LayerNorm over the token dim j (deepvit.py:44-47)
+        attn = nn.LayerNorm(name=f"reattn_norm")(attn)
+        out = jnp.einsum("bhij,bhjd->bhid", attn, v)
+        out = rearrange(out, "b h n d -> b n (h d)")
+        out = nn.Dense(x.shape[-1], name="to_out")(out)
+        return nn.Dropout(self.dropout)(out, deterministic=deterministic)
+
+
+class DeepViT(nn.Module):
+    """deepvit.py: standard ViT classifier with re-attention blocks."""
+
+    image_size: int
+    patch_size: int
+    num_classes: int
+    dim: int
+    depth: int
+    heads: int
+    mlp_dim: int
+    dim_head: int = 64
+    pool: str = "cls"
+    dropout: float = 0.0
+    emb_dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, img: Array, *, deterministic: bool = True) -> Array:
+        p = self.patch_size
+        x = rearrange(img, "b (h p1) (w p2) c -> b (h w) (p1 p2 c)",
+                      p1=p, p2=p)
+        x = nn.Dense(self.dim, name="patch_embed")(x)
+        b, n, _ = x.shape
+        pos = self.param("pos_embedding", nn.initializers.normal(1.0),
+                         (1, n + 1, self.dim))
+        cls = self.param("cls_token", nn.initializers.normal(1.0),
+                         (1, 1, self.dim))
+        x = jnp.concatenate([jnp.broadcast_to(cls, (b, 1, self.dim)), x],
+                            axis=1) + pos
+        x = nn.Dropout(self.emb_dropout)(x, deterministic=deterministic)
+        for i in range(self.depth):
+            h = nn.LayerNorm(name=f"norm1_{i}")(x)
+            x = x + _ReAttention(self.heads, self.dim_head, self.dropout,
+                                 name=f"attn_{i}")(
+                h, deterministic=deterministic)
+            h = nn.LayerNorm(name=f"norm2_{i}")(x)
+            h = nn.Dense(self.mlp_dim, name=f"ff1_{i}")(h)
+            h = jax.nn.gelu(h)
+            h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+            x = x + nn.Dense(self.dim, name=f"ff2_{i}")(h)
+        x = x[:, 0] if self.pool == "cls" else x.mean(axis=1)
+        return nn.Dense(self.num_classes, name="mlp_head")(x)
