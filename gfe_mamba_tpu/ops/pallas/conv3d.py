@@ -232,18 +232,29 @@ def conv3x3x3(x, w, bias, pre_scale, pre_shift, act="none"):
     return _dispatch(x, w, bias, pre_scale, pre_shift, act)
 
 
+def _pick_tiles(x_shape, w_shape, itemsize):
+    """First tile config that fits VMEM; (4,16) measured fastest at the
+    flagship shapes (10.4 ms vs 23.7 ms at (8,8) -- long y tiles give
+    long contiguous DMA spans)."""
+    for xt, yt in ((4, 16), (8, 8), (4, 8), (4, 4)):
+        if _vmem_estimate(x_shape, w_shape, xt, yt,
+                          itemsize=itemsize) < 13 * 2 ** 20:
+            return xt, yt
+    return None
+
+
 def _dispatch(x, w, bias, pre_scale, pre_shift, act):
     platform = jax.devices()[0].platform
     Z, C = x.shape[3], x.shape[4]
-    vmem_ok = _vmem_estimate(
-        x.shape, w.shape, itemsize=x.dtype.itemsize) < 13 * 2 ** 20
-    if (platform in ("tpu", "axon") and Z % 2 == 0 and vmem_ok
+    tiles = _pick_tiles(x.shape, w.shape, x.dtype.itemsize)
+    if (platform in ("tpu", "axon") and Z % 2 == 0 and tiles is not None
             and 2 * C >= 128 and C % 64 == 0):
-        return _conv3x3x3_fused(x, w, bias, pre_scale, pre_shift, act=act)
+        return _conv3x3x3_fused(x, w, bias, pre_scale, pre_shift, act=act,
+                                xt=tiles[0], yt=tiles[1])
     return _reference_impl(x, w, bias, pre_scale, pre_shift, act)
 
 
-def _vmem_estimate(x_shape, w_shape, xt=8, yt=8, itemsize=2):
+def _vmem_estimate(x_shape, w_shape, xt=4, yt=16, itemsize=2):
     B, X, Y, Z, C = x_shape
     F = w_shape[-1]
     zh = Z // 2
