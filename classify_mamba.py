@@ -62,7 +62,7 @@ def build_everything(cf: dict):
         ff_dropout=cf.get("ff_dropout", 0.1),
         seq_length=cf.get("seq_length", 4),
         f_maps=tuple(cf.get("f_maps", (64, 128, 256))),
-        mixer=cf.get("mixer", "mamba"),
+        mixer=cf.get("mixer", "mamba"), remat=cf.get("remat", False),
         **{k: cf[k] for k in ("fold_factor", "vit_patch_size", "vit_dim",
                               "vit_depth", "vit_heads", "vit_mlp_dim")
            if k in cf})

@@ -76,6 +76,10 @@ class UNet(nn.Module):
     dims: int = 3
     exact_reference_upsample: bool = False
     conv_impl: str = "auto"   # 'auto'|'xla'|'fused' (ops/blocks.py)
+    # rematerialize each encoder/decoder block in the backward pass
+    # (jax.checkpoint): residuals shrink to the block inputs/skips, so
+    # full-resolution training fits HBM at batch >1
+    remat: bool = False
     mid: str = "none"
     # ViT bottleneck settings (reference model.py:107-117)
     fold_factor: int = 8
@@ -107,9 +111,19 @@ class UNet(nn.Module):
             conv_impl=self.conv_impl,
         )
 
+        def _enc_fn(mdl, h):
+            return mdl(h, deterministic=deterministic)
+
+        def _dec_fn(mdl, skip, h):
+            return mdl(skip, h, deterministic=deterministic)
+
+        if self.remat:
+            _enc_fn = nn.remat(_enc_fn)
+            _dec_fn = nn.remat(_dec_fn)
+
         encoders_features: list[Array] = []
         for encoder in encoders:
-            x = encoder(x, deterministic=deterministic)
+            x = _enc_fn(encoder, x)
             encoders_features.insert(0, x)
         # drop the bottleneck feature; remaining are the skip connections
         skips = encoders_features[1:]
@@ -131,7 +145,7 @@ class UNet(nn.Module):
 
         decoders_features: list[Array] = []
         for decoder, skip in zip(decoders, skips):
-            x = decoder(skip, x, deterministic=deterministic)
+            x = _dec_fn(decoder, skip, x)
             if output_mid:
                 decoders_features.append(x)
 

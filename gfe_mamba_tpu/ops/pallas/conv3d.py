@@ -215,12 +215,14 @@ def _reference_impl(x, w, bias, pre_scale, pre_shift, act):
         x = x * pre_scale[:, None, None, None, :].astype(x.dtype)
     if pre_shift is not None:
         x = x + pre_shift[:, None, None, None, :].astype(x.dtype)
+    # no preferred_element_type: the conv transpose rule (used by the
+    # custom_vjp backward) requires uniform dtypes, and TPU bf16 convs
+    # accumulate in f32 internally anyway
     y = jax.lax.conv_general_dilated(
         x, w.astype(x.dtype), (1, 1, 1), [(1, 1)] * 3,
-        dimension_numbers=("NHWDC", "HWDIO", "NHWDC"),
-        preferred_element_type=jnp.float32)
+        dimension_numbers=("NHWDC", "HWDIO", "NHWDC"))
     if bias is not None:
-        y = y + bias.astype(jnp.float32)
+        y = y + bias.astype(y.dtype)
     y = _apply_act(y, act)
     return y.astype(x.dtype)
 
@@ -269,20 +271,73 @@ def _vmem_estimate(x_shape, w_shape, xt=4, yt=16, itemsize=2):
 
 def _fwd(x, w, bias, pre_scale, pre_shift, act):
     out = _dispatch(x, w, bias, pre_scale, pre_shift, act)
-    return out, (x, w, bias, pre_scale, pre_shift)
+    # the OUTPUT is saved instead of pre-activation: for every act here
+    # act'(y0) is recoverable from y = act(y0) (relu/leaky: sign; elu:
+    # exp(y0) = y+1), so the backward needs no extra full-size residual
+    return out, (x, w, bias, pre_scale, pre_shift, out)
+
+
+def _act_grad_from_out(y, act):
+    if act == "none":
+        return None
+    if act == "relu":
+        return (y > 0).astype(y.dtype)
+    if act == "elu":
+        return jnp.where(y > 0, jnp.ones_like(y), y + 1.0)
+    if act == "leaky01":
+        return jnp.where(y > 0, 1.0, 0.1).astype(y.dtype)
+    if act == "leaky001":
+        return jnp.where(y > 0, 1.0, 0.01).astype(y.dtype)
+    raise ValueError(act)
 
 
 def _bwd(act, res, g):
-    x, w, bias, pre_scale, pre_shift = res
-    _, vjp = jax.vjp(
-        lambda *a: _reference_impl(*a, act), x, w, bias, pre_scale,
-        pre_shift)
-    grads = vjp(g.astype(x.dtype))
-    # None-positional args produce zero-grads; map back to None shape
-    out = []
-    for orig, grad in zip((x, w, bias, pre_scale, pre_shift), grads):
-        out.append(None if orig is None else grad)
-    return tuple(out)
+    """Fast backward: dz through the SAME fused conv kernel (flipped
+    weights -- the transpose of a SAME stride-1 odd conv is a SAME conv
+    of the cotangent), dw as 27 huge-K dot_generals (contraction over
+    batch x space, MXU-friendly), affine/bias grads as reductions.
+    Matches jax.vjp of the XLA reference (gradient-parity tested)."""
+    x, w, bias, pre_scale, pre_shift, out = res
+    g = g.astype(x.dtype)
+    ag = _act_grad_from_out(out, act)
+    g0 = g if ag is None else g * ag.astype(g.dtype)
+
+    # dz = conv(g0, flip(w)^T)
+    wf = w[::-1, ::-1, ::-1].transpose(0, 1, 2, 4, 3)
+    dz = _dispatch(g0, wf.astype(g0.dtype), None, None, None, "none")
+
+    # recompute z = x*a + b (elementwise; fuses into the dw pad)
+    z = x
+    if pre_scale is not None:
+        z = z * pre_scale[:, None, None, None, :].astype(x.dtype)
+    if pre_shift is not None:
+        z = z + pre_shift[:, None, None, None, :].astype(x.dtype)
+    zp = jnp.pad(z, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+    B, X, Y, Z, C = x.shape
+    taps = []
+    for i in range(3):
+        for j in range(3):
+            for k in range(3):
+                zs = jax.lax.slice(
+                    zp, (0, i, j, k, 0), (B, i + X, j + Y, k + Z, C))
+                taps.append(jax.lax.dot_general(
+                    zs, g0, (((0, 1, 2, 3), (0, 1, 2, 3)), ((), ())),
+                    preferred_element_type=jnp.float32))
+    dw = jnp.stack(taps).reshape(3, 3, 3, C, w.shape[-1]).astype(w.dtype)
+
+    dbias = None if bias is None else \
+        jnp.sum(g0.astype(jnp.float32), axis=(0, 1, 2, 3)).astype(
+            bias.dtype)
+    if pre_scale is not None:
+        da = jnp.einsum("bxyzc,bxyzc->bc", dz.astype(jnp.float32),
+                        x.astype(jnp.float32)).astype(pre_scale.dtype)
+        dx = dz * pre_scale[:, None, None, None, :].astype(dz.dtype)
+    else:
+        da, dx = None, dz
+    db = None if pre_shift is None else \
+        jnp.sum(dz.astype(jnp.float32), axis=(1, 2, 3)).astype(
+            pre_shift.dtype)
+    return (dx.astype(x.dtype), dw, dbias, da, db)
 
 
 conv3x3x3.defvjp(_fwd, _bwd)

@@ -62,6 +62,7 @@ def main(args):
     f_maps = tuple(cf.get("f_maps", (64, 128, 256)))
     generator = ResidualMidUNet3DViT(1, 1, is_segmentation=False,
                                      f_maps=f_maps,
+                                     remat=cf.get("remat", True),
                                      **{k: cf[k] for k in
                                         ("fold_factor", "vit_patch_size",
                                          "vit_dim", "vit_depth", "vit_heads",

@@ -163,3 +163,26 @@ def test_unet_fused_parity():
     np.testing.assert_allclose(
         np.asarray(m_f.apply(p, x)), np.asarray(m_x.apply(p, x)),
         atol=1e-5, rtol=1e-5)
+
+
+def test_unet_remat_parity_forward_and_grads():
+    """remat=True must not change values or grads (only memory)."""
+    from gfe_mamba_tpu.models.unet3d import UNet
+
+    x = _rand(0, (1, 8, 8, 4, 1))
+    kw = dict(out_channels=1, basic_module="ResNetBlock", f_maps=(4, 8),
+              layer_order="gcr", num_groups=2, is_segmentation=False)
+    m = UNet(remat=False, **kw)
+    mr = UNet(remat=True, **kw)
+    p = m.init(jax.random.key(0), x)
+    np.testing.assert_allclose(np.asarray(mr.apply(p, x)),
+                               np.asarray(m.apply(p, x)), atol=1e-6)
+
+    def loss(params, mod):
+        return jnp.sum(mod.apply(params, x) ** 2)
+
+    g = jax.grad(loss)(p, m)
+    gr = jax.grad(loss)(p, mr)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5), g, gr)
