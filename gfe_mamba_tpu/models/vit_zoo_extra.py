@@ -17,6 +17,13 @@ the reference's behavior -- NOT ports:
   attends over frozen patch tokens.
 * ``DeepViT`` -- deepvit.py: re-attention (a learned head-mixing matrix
   applied to the attention maps before the value product).
+* ``PiT`` -- pit.py: overlapping-unfold patch embedding, transformer
+  stages separated by depthwise-conv spatial pooling (dim doubles).
+* ``T2TViT`` -- t2t.py: progressive tokens-to-token soft splits with
+  1-head transformers between, then a standard CLS backbone.
+* ``CrossViT`` -- cross_vit.py: dual-branch small/large-patch ViTs
+  exchanging CLS tokens through projected cross-attention; summed
+  per-branch heads.
 """
 
 from __future__ import annotations
@@ -434,3 +441,217 @@ class DeepViT(nn.Module):
             x = x + nn.Dense(self.dim, name=f"ff2_{i}")(h)
         x = x[:, 0] if self.pool == "cls" else x.mean(axis=1)
         return nn.Dense(self.num_classes, name="mlp_head")(x)
+
+
+def _unfold2d(x: Array, k: int, stride: int, padding: int) -> Array:
+    """torch nn.Unfold equivalent on channels-last (B,H,W,C) ->
+    (B, N, C*k*k) patch tokens."""
+    patches = jax.lax.conv_general_dilated_patches(
+        jnp.moveaxis(x, -1, 1), (k, k), (stride, stride),
+        [(padding, padding)] * 2)           # (B, C*k*k, H', W')
+    return rearrange(patches, "b c h w -> b (h w) c")
+
+
+class PiT(nn.Module):
+    """Pooling-based ViT (pit.py:117-183): overlapping unfold patch
+    embedding (stride p//2), transformer stages separated by Pool =
+    depthwise stride-2 conv on the spatial tokens + Linear on CLS
+    (dim doubles per stage)."""
+
+    image_size: int
+    patch_size: int
+    num_classes: int
+    dim: int
+    depth: Sequence[int]
+    heads: Sequence[int]
+    mlp_dim: int
+    dim_head: int = 64
+    dropout: float = 0.0
+    emb_dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, img: Array, *, deterministic: bool = True) -> Array:
+        p = self.patch_size
+        x = _unfold2d(img, p, p // 2, 0)
+        x = nn.Dense(self.dim, name="patch_embed")(x)
+        b, n, _ = x.shape
+        side = int(round(n ** 0.5))
+        cls = self.param("cls_token", nn.initializers.normal(1.0),
+                        (1, 1, self.dim))
+        pos = self.param("pos_embedding", nn.initializers.normal(1.0),
+                         (1, n + 1, self.dim))
+        x = jnp.concatenate([jnp.broadcast_to(cls, (b, 1, self.dim)), x],
+                            axis=1) + pos
+        x = nn.Dropout(self.emb_dropout)(x, deterministic=deterministic)
+
+        dim = self.dim
+        from gfe_mamba_tpu.models.vit import ViTTransformer
+        for i, (d, h) in enumerate(zip(self.depth, self.heads)):
+            x = ViTTransformer(d, h, self.dim_head, self.mlp_dim,
+                               self.dropout, name=f"stage_{i}")(
+                x, deterministic=deterministic)
+            if i < len(self.depth) - 1:
+                cls_t, toks = x[:, :1], x[:, 1:]
+                cls_t = nn.Dense(2 * dim, name=f"pool_cls_{i}")(cls_t)
+                grid = toks.reshape(b, side, side, dim)
+                grid = nn.Conv(2 * dim, (3, 3), strides=(2, 2), padding=1,
+                               feature_group_count=dim,
+                               name=f"pool_conv_{i}")(grid)
+                side = grid.shape[1]
+                toks = grid.reshape(b, side * side, 2 * dim)
+                x = jnp.concatenate([cls_t, toks], axis=1)
+                dim *= 2
+        x = nn.LayerNorm(name="head_norm")(x[:, 0])
+        return nn.Dense(self.num_classes, name="mlp_head")(x)
+
+
+class T2TViT(nn.Module):
+    """Tokens-to-Token ViT (t2t.py:26-80): progressive soft-split
+    (unfold) tokenization with 1-head transformers between splits,
+    then a standard CLS ViT backbone."""
+
+    image_size: int
+    num_classes: int
+    dim: int
+    depth: int
+    heads: int
+    mlp_dim: int
+    dim_head: int = 64
+    pool: str = "cls"
+    t2t_layers: Sequence[Sequence[int]] = ((7, 4), (3, 2), (3, 2))
+    dropout: float = 0.0
+    emb_dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, img: Array, *, deterministic: bool = True) -> Array:
+        from gfe_mamba_tpu.models.vit import ViTTransformer
+
+        x = img
+        layer_dim = img.shape[-1]
+        size = self.image_size
+        for i, (k, s) in enumerate(self.t2t_layers):
+            if i > 0:  # tokens -> image (RearrangeImage)
+                side = int(round(x.shape[1] ** 0.5))
+                x = x.reshape(x.shape[0], side, side, x.shape[-1])
+            layer_dim *= k * k
+            x = _unfold2d(x, k, s, s // 2)
+            size = (size + 2 * (s // 2) - k) // s + 1
+            if i < len(self.t2t_layers) - 1:
+                x = ViTTransformer(1, 1, layer_dim, layer_dim,
+                                   self.dropout, name=f"t2t_{i}")(
+                    x, deterministic=deterministic)
+        x = nn.Dense(self.dim, name="t2t_project")(x)
+
+        b, n, _ = x.shape
+        cls = self.param("cls_token", nn.initializers.normal(1.0),
+                        (1, 1, self.dim))
+        pos = self.param("pos_embedding", nn.initializers.normal(1.0),
+                         (1, n + 1, self.dim))
+        x = jnp.concatenate([jnp.broadcast_to(cls, (b, 1, self.dim)), x],
+                            axis=1) + pos
+        x = nn.Dropout(self.emb_dropout)(x, deterministic=deterministic)
+        x = ViTTransformer(self.depth, self.heads, self.dim_head,
+                           self.mlp_dim, self.dropout, name="transformer")(
+            x, deterministic=deterministic)
+        x = x[:, 0] if self.pool == "cls" else x.mean(axis=1)
+        x = nn.LayerNorm(name="head_norm")(x)
+        return nn.Dense(self.num_classes, name="mlp_head")(x)
+
+
+class _CrossAttendOnce(nn.Module):
+    """One CrossViT exchange (cross_vit.py:111-131): each branch's CLS
+    is projected into the other branch's dim, attends over [own-CLS +
+    other-branch patch tokens], and is projected back (ProjectInOut)."""
+
+    heads: int
+    dim_head: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, cls_a: Array, tokens_b: Array, dim_b: int) -> Array:
+        dim_a = cls_a.shape[-1]
+        q_in = nn.Dense(dim_b, name="proj_in")(cls_a)
+        ctx = jnp.concatenate([q_in, tokens_b], axis=1)
+        inner = self.heads * self.dim_head
+        q = nn.Dense(inner, use_bias=False, name="to_q")(
+            nn.LayerNorm(name="norm")(q_in))
+        kv = nn.Dense(2 * inner, use_bias=False, name="to_kv")(ctx)
+        k, v = jnp.split(kv, 2, axis=-1)
+        q, k, v = (rearrange(t, "b n (h d) -> b h n d", h=self.heads)
+                   for t in (q, k, v))
+        attn = jax.nn.softmax(
+            jnp.einsum("bhid,bhjd->bhij", q, k) * self.dim_head ** -0.5, -1)
+        out = rearrange(jnp.einsum("bhij,bhjd->bhid", attn, v),
+                        "b h n d -> b n (h d)")
+        out = nn.Dense(dim_b, name="to_out")(out)
+        return cls_a + nn.Dense(dim_a, name="proj_out")(q_in + out)
+
+
+class CrossViT(nn.Module):
+    """Dual-branch multi-scale ViT (cross_vit.py:183-260): small-patch
+    and large-patch branches with their own transformers, exchanging
+    CLS tokens via projected cross-attention each round; the two heads'
+    logits are summed."""
+
+    image_size: int
+    num_classes: int
+    sm_patch_size: int = 4
+    lg_patch_size: int = 8
+    sm_dim: int = 64
+    lg_dim: int = 96
+    sm_enc_depth: int = 1
+    lg_enc_depth: int = 1
+    cross_attn_depth: int = 1
+    multi_scale_enc_depth: int = 2
+    heads: int = 4
+    dim_head: int = 32
+    mlp_mult: int = 2
+    dropout: float = 0.0
+    emb_dropout: float = 0.0
+
+    def _embed(self, img, patch, dim, tag, deterministic):
+        x = rearrange(img, "b (h p1) (w p2) c -> b (h w) (p1 p2 c)",
+                      p1=patch, p2=patch)
+        x = nn.Dense(dim, name=f"{tag}_patch_embed")(x)
+        b, n, _ = x.shape
+        cls = self.param(f"{tag}_cls_token", nn.initializers.normal(1.0),
+                        (1, 1, dim))
+        pos = self.param(f"{tag}_pos_embedding",
+                         nn.initializers.normal(1.0), (1, n + 1, dim))
+        x = jnp.concatenate([jnp.broadcast_to(cls, (b, 1, dim)), x],
+                            axis=1) + pos
+        return nn.Dropout(self.emb_dropout)(x, deterministic=deterministic)
+
+    @nn.compact
+    def __call__(self, img: Array, *, deterministic: bool = True) -> Array:
+        from gfe_mamba_tpu.models.vit import ViTTransformer
+
+        sm = self._embed(img, self.sm_patch_size, self.sm_dim, "sm",
+                         deterministic)
+        lg = self._embed(img, self.lg_patch_size, self.lg_dim, "lg",
+                         deterministic)
+        for i in range(self.multi_scale_enc_depth):
+            sm = ViTTransformer(self.sm_enc_depth, self.heads,
+                                self.dim_head, self.sm_dim * self.mlp_mult,
+                                self.dropout, name=f"sm_enc_{i}")(
+                sm, deterministic=deterministic)
+            lg = ViTTransformer(self.lg_enc_depth, self.heads,
+                                self.dim_head, self.lg_dim * self.mlp_mult,
+                                self.dropout, name=f"lg_enc_{i}")(
+                lg, deterministic=deterministic)
+            for j in range(self.cross_attn_depth):
+                sm_cls = _CrossAttendOnce(
+                    self.heads, self.dim_head, self.dropout,
+                    name=f"sm_attend_lg_{i}_{j}")(
+                    sm[:, :1], lg[:, 1:], self.lg_dim)
+                lg_cls = _CrossAttendOnce(
+                    self.heads, self.dim_head, self.dropout,
+                    name=f"lg_attend_sm_{i}_{j}")(
+                    lg[:, :1], sm[:, 1:], self.sm_dim)
+                sm = jnp.concatenate([sm_cls, sm[:, 1:]], axis=1)
+                lg = jnp.concatenate([lg_cls, lg[:, 1:]], axis=1)
+        sm_logits = nn.Dense(self.num_classes, name="sm_mlp_head")(
+            nn.LayerNorm(name="sm_norm")(sm[:, 0]))
+        lg_logits = nn.Dense(self.num_classes, name="lg_mlp_head")(
+            nn.LayerNorm(name="lg_norm")(lg[:, 0]))
+        return sm_logits + lg_logits

@@ -99,3 +99,46 @@ def test_deepvit_reattention():
               np.shape(v) for path, v in leaves}
     assert any(v == (3, 3) and "reattn_weights" in k
                for k, v in shapes.items())
+
+
+def test_pit_pooling_stages():
+    from gfe_mamba_tpu.models.vit_zoo_extra import PiT
+    m = PiT(image_size=32, patch_size=8, num_classes=3, dim=16,
+            depth=(1, 1), heads=(2, 2), mlp_dim=32)
+    x = jnp.ones((2, 32, 32, 3))
+    p = m.init(jax.random.key(0), x)
+    out = m.apply(p, x)
+    assert out.shape == (2, 3)
+    names = str(jax.tree_util.tree_structure(p))
+    assert "pool_conv_0" in names and "pool_cls_0" in names
+    # dim doubles after the pool stage: head norm sees 2*dim
+    leaves = {"/".join(str(getattr(k, "key", k)) for k in path):
+              np.shape(v) for path, v in
+              jax.tree_util.tree_leaves_with_path(p)}
+    assert leaves["params/head_norm/scale"] == (32,)
+
+
+def test_t2t_progressive_tokenization():
+    from gfe_mamba_tpu.models.vit_zoo_extra import T2TViT
+    m = T2TViT(image_size=32, num_classes=3, dim=24, depth=1, heads=2,
+               mlp_dim=32, t2t_layers=((5, 2), (3, 2)))
+    x = jnp.ones((1, 32, 32, 1))
+    p = m.init(jax.random.key(0), x)
+    out = m.apply(p, x)
+    assert out.shape == (1, 3)
+    names = str(jax.tree_util.tree_structure(p))
+    assert "t2t_0" in names and "t2t_project" in names
+
+
+def test_crossvit_dual_branch():
+    from gfe_mamba_tpu.models.vit_zoo_extra import CrossViT
+    m = CrossViT(image_size=16, num_classes=3, sm_patch_size=4,
+                 lg_patch_size=8, sm_dim=24, lg_dim=32,
+                 multi_scale_enc_depth=1)
+    x = jnp.linspace(0, 1, 2 * 16 * 16 * 3).reshape(2, 16, 16, 3)
+    p = m.init(jax.random.key(0), x)
+    out = m.apply(p, x)
+    assert out.shape == (2, 3)
+    names = str(jax.tree_util.tree_structure(p))
+    assert "sm_attend_lg_0_0" in names and "lg_attend_sm_0_0" in names
+    assert "sm_mlp_head" in names and "lg_mlp_head" in names
