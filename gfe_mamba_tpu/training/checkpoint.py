@@ -40,6 +40,113 @@ class Checkpointer:
         return os.path.exists(self._path(name))
 
 
+class AsyncCheckpointManager:
+    """Step-indexed async checkpointing with retention.
+
+    The production upgrade over :class:`Checkpointer`: saves run in a
+    background thread (training does not block on serialization --
+    orbax AsyncCheckpointer), old steps are garbage-collected down to
+    ``max_to_keep``, and ``keep_best`` additionally retains the k
+    highest-``metric`` steps (best-k retention).  ``wait()`` (or
+    ``close()``) drains pending writes; call before reading a ckpt back
+    or exiting.
+
+    Replaces the reference's blocking torch.save flavors
+    (main_gan_vit.py:131-134, classify_mamba.py:155-173) with
+    non-blocking saves suitable for large sharded states.
+    """
+
+    def __init__(self, directory: str, *, max_to_keep: int = 3,
+                 keep_best: int = 0):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._async = ocp.AsyncCheckpointer(
+            ocp.PyTreeCheckpointHandler())
+        self.max_to_keep = max_to_keep
+        self.keep_best = keep_best
+        self._metrics: dict[int, float] = {}
+        self._load_index()
+
+    # -- index persistence (metrics survive restarts) ------------------
+    def _index_path(self) -> str:
+        return os.path.join(self.directory, "index.json")
+
+    def _load_index(self) -> None:
+        import json
+        if os.path.exists(self._index_path()):
+            with open(self._index_path()) as f:
+                self._metrics = {int(k): v for k, v in json.load(f).items()}
+
+    def _save_index(self) -> None:
+        import json
+        with open(self._index_path(), "w") as f:
+            json.dump({str(k): v for k, v in self._metrics.items()}, f)
+
+    def _step_path(self, step: int) -> str:
+        return os.path.join(self.directory, f"step_{step:08d}")
+
+    def steps(self) -> list[int]:
+        out = []
+        for name in os.listdir(self.directory):
+            # skip orbax in-flight tmp dirs (step_XXXX.orbax-...-tmp)
+            if name.startswith("step_") and name[5:].isdigit() \
+                    and os.path.isdir(os.path.join(self.directory, name)):
+                out.append(int(name[5:]))
+        return sorted(out)
+
+    def save(self, step: int, tree: Any, *, metric: float | None = None
+             ) -> None:
+        """Async save; ``metric`` (higher = better) feeds best-k
+        retention."""
+        self._async.save(self._step_path(step), tree, force=True)
+        if metric is not None:
+            self._metrics[step] = float(metric)
+            self._save_index()
+        self._gc()
+
+    def _retained(self) -> set:
+        steps = self.steps()
+        keep = set(steps[-self.max_to_keep:]) if self.max_to_keep else set()
+        if self.keep_best and self._metrics:
+            ranked = sorted(self._metrics, key=self._metrics.get,
+                            reverse=True)
+            keep |= set(ranked[:self.keep_best])
+        return keep
+
+    def _gc(self) -> None:
+        import shutil
+        keep = self._retained()
+        for step in self.steps():
+            if step not in keep:
+                self.wait()  # never delete under an in-flight write
+                shutil.rmtree(self._step_path(step), ignore_errors=True)
+                self._metrics.pop(step, None)
+        self._save_index()
+
+    def best_step(self) -> int | None:
+        if not self._metrics:
+            return None
+        return max(self._metrics, key=self._metrics.get)
+
+    def latest_step(self) -> int | None:
+        steps = self.steps()
+        return steps[-1] if steps else None
+
+    def restore(self, step: int, like: Any | None = None) -> Any:
+        self.wait()
+        ckpt = ocp.PyTreeCheckpointer()
+        if like is not None:
+            return ckpt.restore(self._step_path(step), item=like)
+        return ckpt.restore(self._step_path(step))
+
+    def wait(self) -> None:
+        self._async.wait_until_finished()
+
+    def close(self) -> None:
+        self.wait()
+        self._async.close()
+
+
 class BestTracker:
     """Best-by-accuracy, ties broken by lower validation loss
     (classify_mamba.py:155-160)."""

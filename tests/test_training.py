@@ -249,3 +249,34 @@ def test_pipeline_overfits_tiny_cohort():
         jnp.asarray(x_num), jnp.asarray(labels))
     from gfe_mamba_tpu.training.metrics import metrics_from_counts
     assert float(metrics_from_counts(counts).accuracy) == 1.0
+
+
+def test_async_checkpoint_manager_retention(tmp_path):
+    """Async saves + max_to_keep GC + best-k retention + restore
+    (training/checkpoint.py AsyncCheckpointManager)."""
+    import jax.numpy as jnp
+    from gfe_mamba_tpu.training.checkpoint import AsyncCheckpointManager
+
+    mgr = AsyncCheckpointManager(str(tmp_path / "ck"), max_to_keep=2,
+                                 keep_best=1)
+    metrics = {1: 0.5, 2: 0.9, 3: 0.4, 4: 0.6, 5: 0.7}
+    for step, acc in metrics.items():
+        tree = {"w": jnp.full((4,), float(step)), "step": jnp.int32(step)}
+        mgr.save(step, tree, metric=acc)
+    mgr.wait()
+    mgr._gc()
+    kept = mgr.steps()
+    # last 2 steps + the best (step 2, acc 0.9)
+    assert set(kept) == {2, 4, 5}, kept
+    assert mgr.best_step() == 2
+    assert mgr.latest_step() == 5
+    like = {"w": jnp.zeros((4,)), "step": jnp.int32(0)}
+    best = mgr.restore(2, like=like)
+    np.testing.assert_allclose(np.asarray(best["w"]), 2.0)
+
+    # a fresh manager over the same dir recovers the metric index
+    mgr.close()
+    mgr2 = AsyncCheckpointManager(str(tmp_path / "ck"), max_to_keep=2,
+                                  keep_best=1)
+    assert mgr2.best_step() == 2
+    mgr2.close()
