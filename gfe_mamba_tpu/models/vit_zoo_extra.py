@@ -655,3 +655,85 @@ class CrossViT(nn.Module):
         lg_logits = nn.Dense(self.num_classes, name="lg_mlp_head")(
             nn.LayerNorm(name="lg_norm")(lg[:, 0]))
         return sm_logits + lg_logits
+
+
+class MPP(nn.Module):
+    """Masked Patch Prediction pretraining wrapper (mpp.py:79-180) --
+    the third self-supervised member next to MAE and DINO: mask a
+    ceil(mask_prob*N) patch subset, corrupt it (mask token with
+    ``replace_prob``, random other patch with ``random_patch_prob``),
+    run a CLS ViT trunk, and classify each masked patch's discretized
+    mean color (``output_channel_bits`` bins/channel, MPPLoss
+    mpp.py:33-73).  Returns the scalar loss."""
+
+    image_size: int
+    patch_size: int
+    dim: int
+    depth: int
+    heads: int
+    mlp_dim: int
+    channels: int = 1
+    dim_head: int = 64
+    mask_prob: float = 0.15
+    replace_prob: float = 0.5
+    random_patch_prob: float = 0.5
+    output_channel_bits: int = 3
+    max_pixel_val: float = 1.0
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, img: Array, *, deterministic: bool = False) -> Array:
+        p, c = self.patch_size, self.channels
+        patches = rearrange(img, "b (h p1) (w p2) c -> b (h w) (p1 p2 c)",
+                            p1=p, p2=p)
+        b, n, pd = patches.shape
+        rng = self.make_rng("mpp")
+        k_noise, k_rand, k_coin1, k_coin2 = jax.random.split(rng, 4)
+
+        # top-ceil(prob*n) mask (get_mask_subset_with_prob)
+        n_masked = int(np.ceil(self.mask_prob * n))
+        noise = jax.random.uniform(k_noise, (b, n))
+        rank = jnp.argsort(jnp.argsort(-noise, axis=-1), axis=-1)
+        mask = rank < n_masked                          # (b, n) bool
+
+        corrupted = patches
+        if self.random_patch_prob > 0:
+            rp = self.random_patch_prob / (1 - self.replace_prob)
+            coin = jax.random.uniform(k_coin1, (b, n)) < rp
+            idx = jax.random.randint(k_rand, (b, n), 0, n)
+            shuffled = jnp.take_along_axis(patches, idx[..., None], axis=1)
+            corrupted = jnp.where((mask & coin)[..., None], shuffled,
+                                  corrupted)
+        mask_token = self.param("mask_token", nn.initializers.normal(1.0),
+                                (1, 1, pd))
+        coin2 = jax.random.uniform(k_coin2, (b, n)) < self.replace_prob
+        corrupted = jnp.where((mask & coin2)[..., None], mask_token,
+                              corrupted)
+
+        x = nn.Dense(self.dim, name="patch_to_emb")(corrupted)
+        cls = self.param("cls_token", nn.initializers.normal(1.0),
+                        (1, 1, self.dim))
+        pos = self.param("pos_embedding", nn.initializers.normal(1.0),
+                         (1, n + 1, self.dim))
+        x = jnp.concatenate([jnp.broadcast_to(cls, (b, 1, self.dim)), x],
+                            axis=1) + pos
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        x = ViTTransformer(self.depth, self.heads, self.dim_head,
+                           self.mlp_dim, self.dropout, name="transformer")(
+            x, deterministic=deterministic)
+        n_bins = 2 ** self.output_channel_bits
+        logits = nn.Dense(n_bins ** c, name="to_bits")(x)[:, 1:]
+
+        # discretized mean-color target (MPPLoss)
+        avg = rearrange(img, "b (h p1) (w p2) c -> b (h w) (p1 p2) c",
+                        p1=p, p2=p).mean(axis=2)
+        avg = jnp.clip(avg, a_max=self.max_pixel_val)
+        bin_size = self.max_pixel_val / n_bins
+        edges = jnp.arange(bin_size, self.max_pixel_val, bin_size)
+        disc = jnp.searchsorted(edges, avg)             # (b, n, c)
+        weights = n_bins ** jnp.arange(c)
+        labels = jnp.sum(disc * weights, axis=-1)       # (b, n)
+
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        ce = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+        return jnp.sum(ce * mask) / jnp.maximum(jnp.sum(mask), 1)

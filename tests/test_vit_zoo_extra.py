@@ -142,3 +142,22 @@ def test_crossvit_dual_branch():
     names = str(jax.tree_util.tree_structure(p))
     assert "sm_attend_lg_0_0" in names and "lg_attend_sm_0_0" in names
     assert "sm_mlp_head" in names and "lg_mlp_head" in names
+
+
+def test_mpp_pretraining_loss():
+    from gfe_mamba_tpu.models.vit_zoo_extra import MPP
+    m = MPP(image_size=16, patch_size=4, dim=32, depth=1, heads=2,
+            mlp_dim=48, channels=1, mask_prob=0.25)
+    x = jnp.linspace(0, 1, 2 * 16 * 16 * 1).reshape(2, 16, 16, 1)
+    p = m.init({"params": jax.random.key(0), "mpp": jax.random.key(1)}, x)
+    loss = m.apply(p, x, rngs={"mpp": jax.random.key(2)})
+    assert np.isfinite(float(loss)) and float(loss) > 0
+    # different mask rngs -> different losses; same rng -> deterministic
+    l2 = m.apply(p, x, rngs={"mpp": jax.random.key(3)})
+    l2b = m.apply(p, x, rngs={"mpp": jax.random.key(3)})
+    assert float(l2) == float(l2b)
+    assert float(loss) != float(l2)
+    # trainable: grads flow to the mask token and trunk
+    g = jax.grad(lambda pp: m.apply(pp, x, rngs={"mpp": jax.random.key(2)}))(p)
+    gt = jax.tree_util.tree_leaves(g)
+    assert any(float(jnp.sum(jnp.abs(t))) > 0 for t in gt)
