@@ -737,3 +737,154 @@ class MPP(nn.Module):
         logp = jax.nn.log_softmax(logits, axis=-1)
         ce = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
         return jnp.sum(ce * mask) / jnp.maximum(jnp.sum(mask), 1)
+
+
+class _CvTAttention(nn.Module):
+    """CvT attention (cvt.py:62-97): depthwise-conv q/kv projections
+    (kv strided for token reduction), spatial tokens, conv out proj.
+    Channels-last feature maps throughout."""
+
+    proj_kernel: int
+    kv_proj_stride: int
+    heads: int
+    dim_head: int = 64
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: Array, *, deterministic: bool = True) -> Array:
+        b, hh, ww, dim = x.shape
+        inner = self.heads * self.dim_head
+        pk = self.proj_kernel
+        xn = nn.LayerNorm(name="norm")(x)
+
+        def dwconv(t, feat, stride, name):
+            t = nn.Conv(t.shape[-1], (pk, pk), strides=(stride, stride),
+                        padding=pk // 2, feature_group_count=t.shape[-1],
+                        use_bias=False, name=f"{name}_dw")(t)
+            return nn.Conv(feat, (1, 1), use_bias=False,
+                           name=f"{name}_pw")(t)
+
+        q = dwconv(xn, inner, 1, "to_q")
+        kv = dwconv(xn, 2 * inner, self.kv_proj_stride, "to_kv")
+        k, v = jnp.split(kv, 2, axis=-1)
+        q = rearrange(q, "b x y (h d) -> b h (x y) d", h=self.heads)
+        k = rearrange(k, "b x y (h d) -> b h (x y) d", h=self.heads)
+        v = rearrange(v, "b x y (h d) -> b h (x y) d", h=self.heads)
+        attn = jax.nn.softmax(
+            jnp.einsum("bhid,bhjd->bhij", q, k) * self.dim_head ** -0.5, -1)
+        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+        out = jnp.einsum("bhij,bhjd->bhid", attn, v)
+        out = rearrange(out, "b h (x y) d -> b x y (h d)", x=hh, y=ww)
+        return nn.Conv(dim, (1, 1), name="to_out")(out)
+
+
+class CvT(nn.Module):
+    """Convolutional vision Transformer (cvt.py:114-175): three stages
+    of [strided conv embedding -> LN -> transformer with conv
+    projections], mean-pooled linear head."""
+
+    num_classes: int
+    emb_dims: Sequence[int] = (64, 192, 384)
+    emb_kernels: Sequence[int] = (7, 3, 3)
+    emb_strides: Sequence[int] = (4, 2, 2)
+    proj_kernel: int = 3
+    kv_proj_strides: Sequence[int] = (2, 2, 2)
+    heads: Sequence[int] = (1, 3, 6)
+    depths: Sequence[int] = (1, 2, 3)
+    mlp_mult: int = 4
+    dim_head: int = 64
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, img: Array, *, deterministic: bool = True) -> Array:
+        x = img
+        for s in range(len(self.emb_dims)):
+            k = self.emb_kernels[s]
+            x = nn.Conv(self.emb_dims[s], (k, k),
+                        strides=(self.emb_strides[s],) * 2, padding=k // 2,
+                        name=f"s{s}_embed")(x)
+            x = nn.LayerNorm(name=f"s{s}_norm")(x)
+            for d in range(self.depths[s]):
+                x = x + _CvTAttention(
+                    self.proj_kernel, self.kv_proj_strides[s],
+                    self.heads[s], self.dim_head, self.dropout,
+                    name=f"s{s}_attn_{d}")(x, deterministic=deterministic)
+                h = nn.LayerNorm(name=f"s{s}_ffnorm_{d}")(x)
+                h = nn.Conv(self.emb_dims[s] * self.mlp_mult, (1, 1),
+                            name=f"s{s}_ff1_{d}")(h)
+                h = jax.nn.gelu(h)
+                h = nn.Conv(self.emb_dims[s], (1, 1),
+                            name=f"s{s}_ff2_{d}")(h)
+                x = x + h
+        x = x.mean(axis=(1, 2))
+        return nn.Dense(self.num_classes, name="mlp_head")(x)
+
+
+class NesT(nn.Module):
+    """Nested Transformer (nest.py:106-181): patch embed, then per
+    hierarchy level block the map into 2^level x 2^level regions, run
+    a local transformer (constant sequence length) inside each block,
+    un-block, and Aggregate (conv+LN+maxpool) down; mean-pool head."""
+
+    image_size: int
+    patch_size: int
+    num_classes: int
+    dim: int
+    heads: int
+    num_hierarchies: int
+    block_repeats: Sequence[int]
+    mlp_mult: int = 4
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, img: Array, *, deterministic: bool = True) -> Array:
+        p = self.patch_size
+        x = rearrange(img, "b (h p1) (w p2) c -> b h w (p1 p2 c)",
+                      p1=p, p2=p)
+        x = nn.LayerNorm(name="patch_norm1")(x)
+        hier = list(reversed(range(self.num_hierarchies)))
+        dims = [self.dim * 2 ** i for i in reversed(hier)]
+        x = nn.Conv(dims[0], (1, 1), name="patch_embed")(x)
+        x = nn.LayerNorm(name="patch_norm2")(x)
+
+        for li, level in enumerate(hier):
+            bs = 2 ** level
+            b, hh, ww, dim = x.shape
+            x = rearrange(x, "b (b1 h) (b2 w) d -> (b b1 b2) h w d",
+                          b1=bs, b2=bs)
+            pos = self.param(f"pos_emb_{li}", nn.initializers.normal(1.0),
+                             (x.shape[1] * x.shape[2],))
+            x = x + pos.reshape(1, x.shape[1], x.shape[2], 1)
+            # heads scale with dim (nest.py layer_heads = mult * heads)
+            heads = self.heads * (dim // dims[0])
+            for d in range(self.block_repeats[li]):
+                h = nn.LayerNorm(name=f"l{li}_norm1_{d}")(x)
+                h = rearrange(h, "b x y d -> b (x y) d")
+                inner = dim
+                qkv = nn.Dense(3 * inner, use_bias=False,
+                               name=f"l{li}_qkv_{d}")(h)
+                q, k, v = jnp.split(qkv, 3, axis=-1)
+                nh = max(1, heads)
+                q, k, v = (rearrange(t, "b n (h e) -> b h n e", h=nh)
+                           for t in (q, k, v))
+                scale = (inner // nh) ** -0.5
+                attn = jax.nn.softmax(
+                    jnp.einsum("bhie,bhje->bhij", q, k) * scale, -1)
+                o = jnp.einsum("bhij,bhje->bhie", attn, v)
+                o = rearrange(o, "b h (x y) e -> b x y (h e)",
+                              x=x.shape[1])
+                x = x + nn.Dense(dim, name=f"l{li}_attnout_{d}")(o)
+                h = nn.LayerNorm(name=f"l{li}_norm2_{d}")(x)
+                h = nn.Dense(dim * self.mlp_mult, name=f"l{li}_ff1_{d}")(h)
+                h = jax.nn.gelu(h)
+                x = x + nn.Dense(dim, name=f"l{li}_ff2_{d}")(h)
+            x = rearrange(x, "(b b1 b2) h w d -> b (b1 h) (b2 w) d",
+                          b1=bs, b2=bs)
+            if level != 0:
+                x = nn.Conv(dims[li + 1], (3, 3), padding=1,
+                            name=f"aggregate_{li}")(x)
+                x = nn.LayerNorm(name=f"agg_norm_{li}")(x)
+                x = nn.max_pool(x, (3, 3), strides=(2, 2),
+                                padding=((1, 1), (1, 1)))
+        x = nn.LayerNorm(name="head_norm")(x).mean(axis=(1, 2))
+        return nn.Dense(self.num_classes, name="mlp_head")(x)

@@ -161,3 +161,29 @@ def test_mpp_pretraining_loss():
     g = jax.grad(lambda pp: m.apply(pp, x, rngs={"mpp": jax.random.key(2)}))(p)
     gt = jax.tree_util.tree_leaves(g)
     assert any(float(jnp.sum(jnp.abs(t))) > 0 for t in gt)
+
+
+def test_cvt_stages():
+    from gfe_mamba_tpu.models.vit_zoo_extra import CvT
+    m = CvT(num_classes=3, emb_dims=(8, 16, 24), depths=(1, 1, 1),
+            heads=(1, 2, 2), dim_head=8)
+    x = jnp.ones((1, 32, 32, 3))
+    p = m.init(jax.random.key(0), x)
+    out = m.apply(p, x)
+    assert out.shape == (1, 3)
+    names = str(jax.tree_util.tree_structure(p))
+    assert "s0_attn_0" in names and "s2_embed" in names
+    # depthwise + pointwise conv projections exist
+    assert "to_kv_dw" in names and "to_kv_pw" in names
+
+
+def test_nest_hierarchy():
+    from gfe_mamba_tpu.models.vit_zoo_extra import NesT
+    m = NesT(image_size=16, patch_size=2, num_classes=3, dim=8, heads=1,
+             num_hierarchies=2, block_repeats=(1, 1))
+    x = jnp.linspace(0, 1, 16 * 16 * 3).reshape(1, 16, 16, 3)
+    p = m.init(jax.random.key(0), x)
+    out = m.apply(p, x)
+    assert out.shape == (1, 3)
+    names = str(jax.tree_util.tree_structure(p))
+    assert "aggregate_0" in names and "l1_qkv_0" in names
