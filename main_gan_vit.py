@@ -27,7 +27,8 @@ from gfe_mamba_tpu.models.discriminator import PatchDiscriminator
 from gfe_mamba_tpu.models.unet3d import ResidualMidUNet3DViT
 from gfe_mamba_tpu.parallel import multihost
 from gfe_mamba_tpu.parallel.mesh import make_mesh
-from gfe_mamba_tpu.training.checkpoint import Checkpointer, save_params_npz
+from gfe_mamba_tpu.training.checkpoint import (
+    AsyncCheckpointManager, Checkpointer, save_params_npz)
 from gfe_mamba_tpu.training.gan_trainer import GanTrainer
 from gfe_mamba_tpu.utils.experiment import ExperimentDir, save_volume_grid
 
@@ -84,7 +85,14 @@ def main(args):
     sample = jnp.zeros((cf["train_bc"],) + img_sz + (1,), jnp.float32)
     state = trainer.init_state(rng, sample, sample)
 
-    ckpt = Checkpointer(exp.path("model_save"))
+    # async_ckpt: true -> non-blocking step-indexed saves with retention
+    if cf.get("async_ckpt", False):
+        ckpt = AsyncCheckpointManager(
+            exp.path("model_save"),
+            max_to_keep=cf.get("ckpt_keep", 3),
+            keep_best=cf.get("ckpt_keep_best", 1))
+    else:
+        ckpt = Checkpointer(exp.path("model_save"))
     warmup = cf.get("warmup_epochs", 10)
     val_interval, save_interval = cf["val_inter"], cf["save_inter"]
     num_epochs = cf["num_epochs"]
@@ -123,9 +131,14 @@ def main(args):
             if (epoch + 1) % save_interval == 0 or epoch == num_epochs - 1:
                 save_params_npz(exp.path("model_save", "model.npz"),
                                 state.g_params["params"])
-                ckpt.save("state", {
-                    "g_params": state.g_params, "d_params": state.d_params,
-                    "epoch": epoch})
+                tree = {"g_params": state.g_params,
+                        "d_params": state.d_params, "epoch": epoch}
+                if isinstance(ckpt, AsyncCheckpointManager):
+                    ckpt.save(epoch + 1, tree)
+                else:
+                    ckpt.save("state", tree)
+    if isinstance(ckpt, AsyncCheckpointManager):
+        ckpt.close()
     exp.close()
 
 
