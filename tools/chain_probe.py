@@ -1,5 +1,7 @@
 #!/usr/bin/env python
-"""In-executable chained op probe: defeats the ~32 ms fixed per-dispatch
+"""Canonical TPU op probe (the ONLY valid methodology here).
+
+In-executable chained op probe: defeats the ~32 ms fixed per-dispatch
 overhead of the axon tunnel (measured: a tiny jnp.sum costs the same
 32 ms/call as a 630 MB elementwise op, pipelined or not, device-resident
 args or not) by repeating the op K times INSIDE one jit with a data
