@@ -73,13 +73,15 @@ def make_cohort(seed: int, n_train: int = 128, n_test: int = 192):
     labels = np.concatenate([np.zeros(n // 2), np.ones(n - n // 2)])
     rng.shuffle(labels)
     x, y, z = np.meshgrid(*[np.arange(s) for s in SHAPE], indexing="ij")
-    # --hard: shrink every signal toward the noise floor so converged
-    # quality sits measurably below the 1.0 ceiling on both sides
-    img_gap = 0.18 if HARD else 0.40     # bright-blob contrast
-    vent_gap = 0.8 if HARD else 2.0      # ventricle radius delta
-    noise = 0.30 if HARD else 0.16
-    flip_p = 0.38 if HARD else 0.2
-    num_scale = 0.45 if HARD else 1.0
+    # --hard: the tabular columns carry NO signal (cat0 pure coin flip,
+    # num0 pure noise) and the image contrast sits near the noise floor
+    # -- the classifier must extract everything through the generator's
+    # imaging features, and converged quality lands below the ceiling
+    img_gap = 0.10 if HARD else 0.40     # bright-blob contrast
+    vent_gap = 0.5 if HARD else 2.0      # ventricle radius delta
+    noise = 0.35 if HARD else 0.16
+    flip_p = 0.5 if HARD else 0.2
+    num_scale = 0.0 if HARD else 1.0
 
     def blob(cx, cy, cz, r):
         return np.exp(-(((x - cx) ** 2 + (y - cy) ** 2
