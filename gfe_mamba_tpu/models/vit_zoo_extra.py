@@ -888,3 +888,113 @@ class NesT(nn.Module):
                                 padding=((1, 1), (1, 1)))
         x = nn.LayerNorm(name="head_norm")(x).mean(axis=(1, 2))
         return nn.Dense(self.num_classes, name="mlp_head")(x)
+
+
+class _ConvBnSiLU(nn.Module):
+    """conv_nxn_bn/conv_1x1_bn of mobile_vit.py: conv -> BN -> SiLU."""
+
+    features: int
+    kernel: int = 1
+    stride: int = 1
+    groups: int = 1
+
+    @nn.compact
+    def __call__(self, x: Array, *, train: bool = False) -> Array:
+        x = nn.Conv(self.features, (self.kernel, self.kernel),
+                    strides=(self.stride, self.stride),
+                    padding=self.kernel // 2, use_bias=False,
+                    feature_group_count=self.groups, name="conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, name="bn")(x)
+        return jax.nn.silu(x)
+
+
+class _MV2Block(nn.Module):
+    """MobileNetV2 inverted residual (mobile_vit.py:94-139)."""
+
+    features: int
+    stride: int = 1
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x: Array, *, train: bool = False) -> Array:
+        inp = x.shape[-1]
+        hidden = inp * self.expansion
+        h = x
+        if self.expansion != 1:
+            h = _ConvBnSiLU(hidden, 1, name="pw")(h, train=train)
+        h = _ConvBnSiLU(hidden, 3, self.stride, groups=hidden,
+                        name="dw")(h, train=train)
+        h = nn.Conv(self.features, (1, 1), use_bias=False,
+                    name="pw_linear")(h)
+        h = nn.BatchNorm(use_running_average=not train, name="bn_out")(h)
+        if self.stride == 1 and inp == self.features:
+            h = h + x
+        return h
+
+
+class _MobileViTBlock(nn.Module):
+    """Local conv + unfolded-patch global transformer + fusion
+    (mobile_vit.py:141-172)."""
+
+    dim: int
+    depth: int
+    channel: int
+    kernel_size: int
+    patch_size: Sequence[int]
+    mlp_dim: int
+
+    @nn.compact
+    def __call__(self, x: Array, *, train: bool = False) -> Array:
+        ph, pw = self.patch_size
+        y = x
+        h = _ConvBnSiLU(self.channel, self.kernel_size, name="conv1")(
+            x, train=train)
+        h = _ConvBnSiLU(self.dim, 1, name="conv2")(h, train=train)
+        hh, ww = h.shape[1], h.shape[2]
+        h = rearrange(h, "b (h ph) (w pw) d -> b (ph pw) (h w) d",
+                      ph=ph, pw=pw)
+        b, np_, nt, d = h.shape
+        h = ViTTransformer(self.depth, 4, 8, self.mlp_dim,
+                           name="transformer")(
+            h.reshape(b * np_, nt, d)).reshape(b, np_, nt, d)
+        h = rearrange(h, "b (ph pw) (h w) d -> b (h ph) (w pw) d",
+                      h=hh // ph, w=ww // pw, ph=ph, pw=pw)
+        h = _ConvBnSiLU(self.channel, 1, name="conv3")(h, train=train)
+        h = jnp.concatenate([h, y], axis=-1)
+        return _ConvBnSiLU(self.channel, self.kernel_size, name="conv4")(
+            h, train=train)
+
+
+class MobileViT(nn.Module):
+    """MobileViT (mobile_vit.py:173-248): MV2 stem, three
+    MV2-downsample + MobileViT-block stages, 1x1 head."""
+
+    image_size: Sequence[int]
+    dims: Sequence[int]
+    channels: Sequence[int]
+    num_classes: int
+    expansion: int = 4
+    kernel_size: int = 3
+    patch_size: Sequence[int] = (2, 2)
+    depths: Sequence[int] = (2, 4, 3)
+
+    @nn.compact
+    def __call__(self, img: Array, *, train: bool = False) -> Array:
+        ch = self.channels
+        x = _ConvBnSiLU(ch[0], 3, 2, name="conv1")(img, train=train)
+        x = _MV2Block(ch[1], 1, self.expansion, name="stem0")(x, train=train)
+        x = _MV2Block(ch[2], 2, self.expansion, name="stem1")(x, train=train)
+        x = _MV2Block(ch[3], 1, self.expansion, name="stem2")(x, train=train)
+        x = _MV2Block(ch[3], 1, self.expansion, name="stem3")(x, train=train)
+        for s in range(3):
+            x = _MV2Block(ch[3 + 2 * s + 1], 2, self.expansion,
+                          name=f"trunk{s}_mv2")(x, train=train)
+            x = _MobileViTBlock(
+                self.dims[s], self.depths[s], ch[3 + 2 * s + 2],
+                self.kernel_size, self.patch_size,
+                int(self.dims[s] * (2 if s == 0 else 4)),
+                name=f"trunk{s}_vit")(x, train=train)
+        x = _ConvBnSiLU(ch[-1], 1, name="head_conv")(x, train=train)
+        x = x.mean(axis=(1, 2))
+        return nn.Dense(self.num_classes, use_bias=False,
+                        name="mlp_head")(x)

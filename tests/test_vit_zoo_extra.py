@@ -187,3 +187,19 @@ def test_nest_hierarchy():
     assert out.shape == (1, 3)
     names = str(jax.tree_util.tree_structure(p))
     assert "aggregate_0" in names and "l1_qkv_0" in names
+
+
+def test_mobilevit():
+    from gfe_mamba_tpu.models.vit_zoo_extra import MobileViT
+    m = MobileViT(image_size=(64, 64), dims=(16, 24, 32),
+                  channels=(4, 8, 12, 12, 16, 16, 24, 24, 32, 32, 64),
+                  num_classes=3, depths=(1, 1, 1))
+    x = jnp.linspace(0, 1, 64 * 64 * 3).reshape(1, 64, 64, 3)
+    vs = m.init(jax.random.key(0), x)
+    out, _ = m.apply(vs, x, train=True, mutable=["batch_stats"])
+    assert out.shape == (1, 3)
+    out_eval = m.apply(vs, x)
+    assert out_eval.shape == (1, 3)
+    names = str(jax.tree_util.tree_structure(vs))
+    assert "trunk0_vit" in names and "stem3" in names
+    assert "batch_stats" in names
