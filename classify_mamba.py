@@ -74,9 +74,13 @@ def run_validation(trainer, params, val_loader, epoch, exp):
     losses, total = 0.0, 0
     counts = None
     for batch in val_loader:
+        bc = len(batch["label"])
+        cate = jnp.asarray(batch["cate_x"]) if "cate_x" in batch \
+            else jnp.zeros((bc, 0), jnp.int32)
+        conti = jnp.asarray(batch["conti_x"]) if "conti_x" in batch \
+            else jnp.zeros((bc, 0), jnp.float32)
         probs, loss, c = trainer.eval_step(
-            params, jnp.asarray(batch["image"]),
-            jnp.asarray(batch["cate_x"]), jnp.asarray(batch["conti_x"]),
+            params, jnp.asarray(batch["image"]), cate, conti,
             jnp.asarray(batch["label"]))
         all_preds.append(np.asarray(probs))
         all_targets.append(np.asarray(batch["label"]))
@@ -131,7 +135,7 @@ def main(args):
     exp.write(f"The size of model: "
               f"{count_parameters(state.params['params'])} \n")
     # persist the fitted table preprocessor for eval/serving parity
-    if not exp.is_debug:
+    if not exp.is_debug and dataset.table is not None:
         with open(exp.path("table_preprocessor.json"), "w") as f:
             f.write(dataset.preprocessor.to_json())
 
@@ -144,9 +148,16 @@ def main(args):
     strikes = StrikeCounter(max_strikes=10)
     for epoch in range(num_epochs):
         for batch in train_loader:
+            # tableless mode (table_path='') omits cate_x/conti_x
             sb = multihost.form_global_array(
                 {k: batch[k] for k in
-                 ("image", "cate_x", "conti_x", "label")}, mesh)
+                 ("image", "cate_x", "conti_x", "label") if k in batch},
+                mesh)
+            if "cate_x" not in sb:
+                sb["cate_x"] = jnp.zeros((sb["image"].shape[0], 0),
+                                         jnp.int32)
+                sb["conti_x"] = jnp.zeros((sb["image"].shape[0], 0),
+                                          jnp.float32)
             rng, step_rng = jax.random.split(rng)
             state, logs = trainer.train_step(
                 state, sb["image"], sb["cate_x"], sb["conti_x"],
@@ -160,11 +171,18 @@ def main(args):
                       " ".join(f"{k}={v:.4f}" for k, v in logs.items()))
             global_step += 1
 
-        if multihost.is_main_process() and (
-                (epoch + 1) % cf["val_inter"] == 0
-                or epoch == num_epochs - 1):
+        do_val = ((epoch + 1) % cf["val_inter"] == 0
+                  or epoch == num_epochs - 1)
+        do_save = not exp.is_debug and (
+            (epoch + 1) % cf["save_inter"] == 0 or epoch == num_epochs - 1)
+        # collective pull of the (replicated) params to host numpy, so
+        # validation/saving can run purely locally on process 0
+        # (ADVICE r2: jit/orbax on global arrays must not be p0-gated)
+        p_host = multihost.host_local(state.params) \
+            if (do_val or do_save) else None
+        if multihost.is_main_process() and do_val:
             metrics, val_loss = run_validation(
-                trainer, state.params, val_loader, epoch, exp)
+                trainer, p_host, val_loader, epoch, exp)
             accuracy = float(metrics.accuracy) * 100
             line = (f"Epoch {epoch + 1}: Acc: {accuracy: .4f}% "
                     f"Recall: {float(metrics.recall): .4f} "
@@ -178,18 +196,16 @@ def main(args):
                              "validation_loss": val_loss}, global_step)
             if not exp.is_debug and best.is_better(accuracy, val_loss):
                 save_params_npz(exp.path("model_best", "best_model.npz"),
-                                state.params["params"]["combiner"])
+                                p_host["params"]["combiner"])
                 save_params_npz(exp.path("model_best", "best_ft_model.npz"),
-                                state.params["params"]["classifier"])
+                                p_host["params"]["classifier"])
                 print("Saved best model")
 
-        if multihost.is_main_process() and not exp.is_debug and (
-                (epoch + 1) % cf["save_inter"] == 0
-                or epoch == num_epochs - 1):
+        if multihost.is_main_process() and do_save:
             save_params_npz(exp.path("model_current", "model_current.npz"),
-                            state.params["params"]["combiner"])
+                            p_host["params"]["combiner"])
             save_params_npz(exp.path("model_current", "ft_model_current.npz"),
-                            state.params["params"]["classifier"])
+                            p_host["params"]["classifier"])
             print("Saved model")
     exp.close()
 

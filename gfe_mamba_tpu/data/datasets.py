@@ -227,11 +227,11 @@ class MRIClassifyDataset:
 
     @property
     def num_cat(self):
-        return self.table["num_cat"]
+        return self.table["num_cat"] if self.table is not None else []
 
     @property
     def num_cont(self):
-        return self.table["num_cont"]
+        return self.table["num_cont"] if self.table is not None else 0
 
     @property
     def preprocessor(self):

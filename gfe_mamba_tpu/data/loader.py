@@ -67,6 +67,12 @@ class DataLoader:
             pid, nproc = process_shard
             if not 0 <= pid < nproc:
                 raise ValueError(f"bad process_shard {process_shard}")
+            if not drop_last:
+                # a ragged tail splits len(chunk)//nproc per process ->
+                # different global_shape in form_global_array -> hang
+                raise ValueError(
+                    "process_shard requires drop_last=True: SPMD needs "
+                    "identical per-process batch shapes")
         self.process_shard = process_shard
 
     def __len__(self) -> int:
@@ -91,15 +97,9 @@ class DataLoader:
             for start in range(0, len(order), global_bs):
                 chunk = order[start:start + global_bs]
                 if len(chunk) < global_bs:
-                    if self.drop_last:
-                        return
-                    chunk = chunk[pid * len(chunk) // nproc:
-                                  (pid + 1) * len(chunk) // nproc]
-                else:
-                    chunk = chunk[pid * self.batch_size:
-                                  (pid + 1) * self.batch_size]
-                if len(chunk):
-                    yield chunk
+                    return  # drop_last enforced in __init__
+                yield chunk[pid * self.batch_size:
+                            (pid + 1) * self.batch_size]
             return
         for start in range(0, len(order), self.batch_size):
             chunk = order[start:start + self.batch_size]

@@ -196,7 +196,11 @@ class TabularEmbedder(nn.Module):
             xs.append(NumericalEmbedder(
                 self.dim, self.num_continuous, name="numerical_embedder"
             )(x_numer))
-        x = jnp.concatenate(xs, axis=1)
+        if xs:
+            x = jnp.concatenate(xs, axis=1)
+        else:
+            # tableless mode (classify_mamba table_path=''): CLS only
+            x = jnp.zeros((x_categ.shape[0], 0, self.dim))
         cls = self.param("cls_token", nn.initializers.normal(1.0),
                          (1, 1, self.dim))
         cls = jnp.broadcast_to(cls, (x.shape[0], 1, self.dim))

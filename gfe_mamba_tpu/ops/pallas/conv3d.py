@@ -21,10 +21,15 @@ Layout: channels-last (B, X, Y, Z, C), SAME padding, stride 1 -- the
 only 3D conv shape the GFE-Mamba generator uses.  Weights are flax
 HWDIO (3, 3, 3, C, F).
 
-Gradients: ``conv3x3x3`` carries a custom_vjp whose backward is the
-XLA formulation (jax.vjp of the reference implementation) -- training
-works everywhere; the forward win is what the inference/serving path
-and the fwd half of training see.
+Gradients: ``conv3x3x3`` carries a custom_vjp with a fast backward
+(``_bwd``): dz reuses this SAME fused kernel with flipped/transposed
+weights (the transpose of a SAME stride-1 odd conv is itself a SAME
+conv of the cotangent), dw is computed as 27 huge-K dot_generals
+contracting over batch x space, and act' is recovered from the saved
+OUTPUT (no pre-activation residual).  It matches jax.vjp of the XLA
+reference (gradient-parity tested on-chip, rel err ~6e-3 bf16) and
+cut the canonical b1 generator train step 548 -> 389 ms (PERF_NOTES
+"Training step").
 """
 
 from __future__ import annotations

@@ -106,6 +106,31 @@ def local_batch_slice(global_batch: int,
     return slice(pid * per, (pid + 1) * per)
 
 
+def host_local(tree: Any) -> Any:
+    """Globally-sharded jax.Array pytree -> host-local numpy.
+
+    For fully-replicated leaves (params after a DP step) this reads the
+    process-local copy with no communication; partially-sharded leaves
+    go through an allgather.  Every process must call this (the
+    allgather branch is collective); the result is ordinary numpy, so
+    process-0-only work (npz dumps, PNG grids, local eval) can then run
+    without touching non-addressable shards.  Fixes the
+    'is_main_process-gated jit on global arrays' deadlock class
+    (ADVICE r2, main_gan_vit.py:118).
+    """
+
+    def _pull(x):
+        if not isinstance(x, jax.Array):
+            return x
+        if x.is_fully_addressable or x.is_fully_replicated:
+            return np.asarray(x.addressable_data(0)
+                              if not x.is_fully_addressable else x)
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+    return jax.tree_util.tree_map(_pull, tree)
+
+
 def form_global_array(local_batch: Any, mesh: Mesh,
                       axis: str = "data") -> Any:
     """Per-process host arrays -> one globally-sharded jax.Array pytree.

@@ -101,8 +101,12 @@ class AsyncCheckpointManager:
         self._async.save(self._step_path(step), tree, force=True)
         if metric is not None:
             self._metrics[step] = float(metric)
-            self._save_index()
-        self._gc()
+        # multi-process runs call save() collectively (orbax coordinates
+        # the write); index/GC filesystem mutation happens once
+        if jax.process_index() == 0:
+            if metric is not None:
+                self._save_index()
+            self._gc()
 
     def _retained(self) -> set:
         steps = self.steps()
@@ -114,11 +118,14 @@ class AsyncCheckpointManager:
         return keep
 
     def _gc(self) -> None:
+        # deleting OTHER steps' committed dirs cannot race the in-flight
+        # step's write (steps() skips orbax tmp dirs), so no wait() here
+        # -- waiting would drain the just-launched async save and make
+        # every steady-state save blocking
         import shutil
         keep = self._retained()
         for step in self.steps():
             if step not in keep:
-                self.wait()  # never delete under an in-flight write
                 shutil.rmtree(self._step_path(step), ignore_errors=True)
                 self._metrics.pop(step, None)
         self._save_index()

@@ -115,28 +115,36 @@ def main(args):
                       + " ".join(f"{k}={v:.4f}" for k, v in logs.items()))
             global_step += 1
 
-        if jax.process_index() == 0:
-            if (epoch + 1) % val_interval == 0 or epoch == num_epochs - 1:
-                for i, batch in enumerate(val_loader):
-                    recon = trainer.generate(state.g_params,
-                                             jnp.asarray(batch["image"]))
-                    panel = np.concatenate(
-                        [np.asarray(batch["image"]),
-                         np.asarray(batch["label"]),
-                         np.asarray(recon)], axis=1)
-                    save_dir = exp.path("results_save", str(epoch + 1))
-                    import os
-                    os.makedirs(save_dir, exist_ok=True)
-                    save_volume_grid(panel, f"{save_dir}/{i + 1}.png")
-            if (epoch + 1) % save_interval == 0 or epoch == num_epochs - 1:
+        do_val = (epoch + 1) % val_interval == 0 or epoch == num_epochs - 1
+        do_save = (epoch + 1) % save_interval == 0 or epoch == num_epochs - 1
+        # host_local is collective (allgather branch) -> every process
+        # enters it; only host-side IO below is gated on process 0
+        g_host = multihost.host_local(state.g_params) \
+            if (do_val or do_save) else None
+        if do_val and multihost.is_main_process():
+            for i, batch in enumerate(val_loader):
+                recon = trainer.generate(g_host,
+                                         jnp.asarray(batch["image"]))
+                panel = np.concatenate(
+                    [np.asarray(batch["image"]),
+                     np.asarray(batch["label"]),
+                     np.asarray(recon)], axis=1)
+                save_dir = exp.path("results_save", str(epoch + 1))
+                import os
+                os.makedirs(save_dir, exist_ok=True)
+                save_volume_grid(panel, f"{save_dir}/{i + 1}.png")
+        if do_save:
+            if multihost.is_main_process():
                 save_params_npz(exp.path("model_save", "model.npz"),
-                                state.g_params["params"])
-                tree = {"g_params": state.g_params,
-                        "d_params": state.d_params, "epoch": epoch}
-                if isinstance(ckpt, AsyncCheckpointManager):
-                    ckpt.save(epoch + 1, tree)
-                else:
-                    ckpt.save("state", tree)
+                                g_host["params"])
+            # orbax saves of (possibly) multi-process arrays are
+            # collective: every process calls save with the global tree
+            tree = {"g_params": state.g_params,
+                    "d_params": state.d_params, "epoch": epoch}
+            if isinstance(ckpt, AsyncCheckpointManager):
+                ckpt.save(epoch + 1, tree)
+            else:
+                ckpt.save("state", tree)
     if isinstance(ckpt, AsyncCheckpointManager):
         ckpt.close()
     exp.close()
