@@ -77,6 +77,112 @@ def build(small: bool):
     return step, params, (), batch
 
 
+def measure_train(small: bool):
+    """Training throughput: canonical Stage-1 fused G+D adversarial step
+    and Stage-2 classifier step, measured with K steps chained INSIDE
+    one executable (two-point slope, so the ~32 ms per-dispatch tunnel
+    overhead cancels -- PERF_NOTES methodology)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gfe_mamba_tpu.losses.perceptual import PerceptualLoss
+    from gfe_mamba_tpu.models.discriminator import PatchDiscriminator
+    from gfe_mamba_tpu.models.unet3d import ResidualMidUNet3DViT
+    from gfe_mamba_tpu.training.gan_trainer import GanTrainer
+
+    if small:
+        img_sz, f_maps, batch = (16, 16, 8), (8, 16), 1
+        vit_kw = dict(fold_factor=2, vit_patch_size=4, vit_dim=32,
+                      vit_depth=1, vit_heads=2, vit_mlp_dim=32)
+    else:
+        img_sz, f_maps, batch = (160, 160, 96), (64, 128, 256), 1
+        vit_kw = {}
+
+    gen = ResidualMidUNet3DViT(1, 1, is_segmentation=False, f_maps=f_maps,
+                               remat=True, **vit_kw)
+    disc = PatchDiscriminator(num_layers_d=3, num_channels=32)
+    trainer = GanTrainer(gen, disc, PerceptualLoss(fake_3d_ratio=0.25))
+    rng = jax.random.key(0)
+    zeros = jnp.zeros((batch,) + img_sz + (1,), jnp.float32)
+    state1 = trainer.init_state(rng, zeros, zeros)
+
+    def stage1_multi(k):
+        @jax.jit
+        def fn(state, key):
+            def body(carry, _):
+                st, r = carry
+                r, r1, r2, r3 = jax.random.split(r, 4)
+                mri = jax.random.normal(r1, zeros.shape, jnp.float32)
+                pet = jax.random.normal(r2, zeros.shape, jnp.float32)
+                st, logs = trainer.train_step(st, mri, pet,
+                                              jnp.float32(1.0), r3)
+                return (st, r), logs["g_loss"]
+            (state, _), losses = jax.lax.scan(
+                body, (state, key), None, length=k)
+            return losses[-1]
+        return fn
+
+    def slope(make, state, k_lo, k_hi, iters=3):
+        ts = {}
+        for k in (k_lo, k_hi):
+            fn = make(k)
+            float(fn(state, jax.random.key(0)))  # compile
+            t0 = time.perf_counter()
+            vals = [fn(state, jax.random.key(i + 1)) for i in range(iters)]
+            vals = [float(v) for v in vals]
+            ts[k] = (time.perf_counter() - t0) / iters
+            assert all(np.isfinite(v) for v in vals)
+        return (ts[k_hi] - ts[k_lo]) / (k_hi - k_lo)
+
+    s1 = slope(stage1_multi, state1, 1, 4)
+    out = {"train_stage1_ms_per_step": round(s1 * 1e3, 1),
+           "train_stage1_vol_s": round(batch / s1, 2)}
+
+    # Stage-2: full-pipeline classifier step (frozen generator)
+    from gfe_mamba_tpu.models.pipeline import build_gfe_mamba
+    from gfe_mamba_tpu.training.classify_trainer import ClassifyTrainer
+    if small:
+        model = build_gfe_mamba(
+            categories=(3, 5, 2), num_continuous=4, dim=32, depth=1,
+            heads=2, seq_length=2, f_maps=(8, 16), fold_factor=2,
+            vit_patch_size=4, vit_dim=32, vit_depth=1, vit_heads=2,
+            vit_mlp_dim=32)
+        cats, n_cont, batch2 = (3, 5, 2), 4, 1
+    else:
+        cats = tuple([6] * 8)
+        model = build_gfe_mamba(categories=cats, num_continuous=40,
+                                dim=512, depth=6, heads=8, seq_length=4,
+                                f_maps=(64, 128, 256), remat=True)
+        n_cont, batch2 = 40, 1
+    ct = ClassifyTrainer(model, lr=1e-4)
+    mri0 = jnp.zeros((batch2,) + img_sz + (1,), jnp.float32)
+    cat0 = jnp.zeros((batch2, len(cats)), jnp.int32)
+    num0 = jnp.zeros((batch2, n_cont), jnp.float32)
+    state2 = ct.init_state(jax.random.key(1), mri0, cat0, num0)
+
+    def stage2_multi(k):
+        @jax.jit
+        def fn(state, key):
+            def body(carry, _):
+                st, r = carry
+                r, r1, r2, r3 = jax.random.split(r, 4)
+                mri = jax.random.normal(r1, mri0.shape, jnp.float32)
+                num = jax.random.normal(r2, num0.shape, jnp.float32)
+                lab = (jax.random.uniform(r3, (batch2,)) > 0.5) \
+                    .astype(jnp.float32)
+                st, logs = ct.train_step(st, mri, cat0, num, lab, r)
+                return (st, r), logs["cla_loss"]
+            (state, _), losses = jax.lax.scan(
+                body, (state, key), None, length=k)
+            return losses[-1]
+        return fn
+
+    s2 = slope(stage2_multi, state2, 1, 4)
+    out["train_stage2_ms_per_step"] = round(s2 * 1e3, 1)
+    out["train_stage2_vol_s"] = round(batch2 / s2, 2)
+    return out
+
+
 def measure(step, params, args, batch, warmup: int, iters: int) -> float:
     """Median per-call wall time over fresh-key executions.  The scalar
     output is fetched to HOST inside the timed region: on the axon dev
@@ -102,6 +208,8 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true")
     parser.add_argument("--cpu-baseline", action="store_true")
+    parser.add_argument("--no-train", action="store_true",
+                        help="skip the training-throughput section")
     parser.add_argument("--iters", type=int, default=0)
     args = parser.parse_args()
 
@@ -167,6 +275,10 @@ def main():
     if mfu is not None:
         out["mfu_pct"] = round(mfu, 1)
         out["batch"] = batch
+    if not args.no_train:
+        # training throughput rides in the same JSON line (VERDICT r2
+        # weak #2: the bench must not silently mean inference-only)
+        out.update(measure_train(small=args.quick))
     print(json.dumps(out))
 
 

@@ -31,6 +31,7 @@ from flax import linen as nn
 
 from gfe_mamba_tpu.ops.blocks import (
     DotConv1x1, make_decoder_stack, make_encoder_stack, resolve_conv_impl)
+from gfe_mamba_tpu.ops.pallas.conv3d import pack_z, unpack_z
 from gfe_mamba_tpu.models.vit import ImageToImageViT
 
 Array = jax.Array
@@ -97,19 +98,38 @@ class UNet(nn.Module):
         assert len(self.f_maps) > 1, "Required at least 2 levels in the U-Net"
         deterministic = not train
 
+        # packed flow (round 3): every tensor between blocks is z-pair
+        # packed (B, X, Y, Z//2, 2C) -- lane-full buffers kill the
+        # (.., Z, 64) tile-pad/repack glue that dominated the step
+        # (PERF_NOTES "Round 3: segment attribution")
+        packed = (
+            resolve_conv_impl(self.conv_impl, self.dims,
+                              self.conv_kernel_size,
+                              self.conv_padding) == "fused"
+            and self.dims == 3
+            and self.basic_module == "ResNetBlock"
+            and set(self.layer_order) <= set("gcrle")
+            and self.pool_kernel_size == 2
+            and self.upsample in ("default", "deconv")
+            and x.shape[3] % (2 ** len(self.f_maps)) == 0
+            and all(f % 64 == 0 for f in self.f_maps)
+        )
+
         encoders = make_encoder_stack(
             self.f_maps, self.basic_module, self.conv_kernel_size,
             self.conv_padding, self.conv_upscale, self.dropout_prob,
             self.layer_order, self.num_groups, self.pool_kernel_size,
-            self.dims, conv_impl=self.conv_impl,
+            self.dims, conv_impl=self.conv_impl, packed_io=packed,
         )
         decoders = make_decoder_stack(
             self.f_maps, self.basic_module, self.conv_kernel_size,
             self.conv_padding, self.layer_order, self.num_groups,
             self.upsample, self.dropout_prob, self.dims,
             exact_reference_upsample=self.exact_reference_upsample,
-            conv_impl=self.conv_impl,
+            conv_impl=self.conv_impl, packed_io=packed,
         )
+        if packed:
+            x = pack_z(x)
 
         def _enc_fn(mdl, h):
             return mdl(h, deterministic=deterministic)
@@ -130,7 +150,8 @@ class UNet(nn.Module):
 
         mid_input = mid_output = None
         if self.mid == "vit":
-            mid_input = fold_3d_to_2d(x, self.fold_factor)
+            xu = unpack_z(x) if packed else x  # free bitcast at C=256
+            mid_input = fold_3d_to_2d(xu, self.fold_factor)
             mid_output = ImageToImageViT(
                 patch_size=self.vit_patch_size,
                 dim=self.vit_dim,
@@ -141,16 +162,22 @@ class UNet(nn.Module):
                 emb_dropout=self.vit_emb_dropout,
                 name="mid",
             )(mid_input, deterministic=deterministic)
-            x = unfold_2d_to_3d(mid_output, self.fold_factor, w=x.shape[3])
+            x = unfold_2d_to_3d(mid_output, self.fold_factor, w=xu.shape[3])
+            if packed:
+                x = pack_z(x)
 
         decoders_features: list[Array] = []
         for decoder, skip in zip(decoders, skips):
             x = _dec_fn(decoder, skip, x)
             if output_mid:
-                decoders_features.append(x)
+                decoders_features.append(unpack_z(x) if packed else x)
 
-        if resolve_conv_impl(self.conv_impl, self.dims, 3,
-                             self.conv_padding) == "fused":
+        if packed:
+            x = DotConv1x1(self.out_channels, self.dims, packed_io=True,
+                           name="final_conv")(x)
+            x = unpack_z(x)
+        elif resolve_conv_impl(self.conv_impl, self.dims, 3,
+                               self.conv_padding) == "fused":
             x = DotConv1x1(self.out_channels, self.dims,
                            name="final_conv")(x)
         else:
@@ -162,6 +189,7 @@ class UNet(nn.Module):
             x = jax.nn.sigmoid(x) if self.final_sigmoid else jax.nn.softmax(x, axis=-1)
 
         if output_mid:
+            skips = [unpack_z(s) for s in skips] if packed else skips
             skips.reverse()
             decoders_features.reverse()
             return skips, decoders_features, x

@@ -31,7 +31,9 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from gfe_mamba_tpu.ops.pallas.conv3d import conv3x3x3, group_norm_stats
+from gfe_mamba_tpu.ops.pallas.conv3d import (
+    avg_pool_packed, conv3x3x3, conv3x3x3_p, group_norm_stats,
+    group_norm_stats_p, max_pool_packed, pack_z, unpack_z)
 
 Array = jax.Array
 
@@ -89,25 +91,35 @@ class DotConv1x1(nn.Module):
     XLA lowers nn.Conv(k=1) as conv_general_dilated and (on TPU) may
     pick exotic layouts for its output (measured: a {4,0,3,2,1} layout
     costing 2.5x HBM on the enc1 shortcut); a dot_general keeps the
-    natural channels-minor layout."""
+    natural channels-minor layout.
+
+    ``packed_io=True``: input/output are z-pair packed (..., Z//2, 2C);
+    the dot uses a block-diagonal twin of the kernel so both fine-z
+    halves transform with the same weights (param shapes unchanged)."""
 
     features: int
     dims: int = 3
     use_bias: bool = True
+    packed_io: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
+        in_ch = x.shape[-1] // 2 if self.packed_io else x.shape[-1]
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(),
-            (1,) * self.dims + (x.shape[-1], self.features))
+            (1,) * self.dims + (in_ch, self.features))
         dt = jnp.promote_types(x.dtype, kernel.dtype)
+        k = kernel.reshape(in_ch, self.features).astype(dt)
+        if self.packed_io:
+            k = jnp.zeros((2 * in_ch, 2 * self.features), dt) \
+                .at[:in_ch, :self.features].set(k) \
+                .at[in_ch:, self.features:].set(k)
         y = jax.lax.dot_general(
-            x.astype(dt), kernel.reshape(x.shape[-1], self.features)
-            .astype(dt),
-            (((x.ndim - 1,), (0,)), ((), ())))
+            x.astype(dt), k, (((x.ndim - 1,), (0,)), ((), ())))
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros,
                               (self.features,))
+            bias = jnp.tile(bias, 2) if self.packed_io else bias
             y = y + bias.astype(dt)
         return y
 
@@ -145,6 +157,88 @@ class SingleConv(nn.Module):
     dims: int = 3
     # 'auto' | 'xla' | 'fused' -- see resolve_conv_impl
     conv_impl: str = "auto"
+    # True: input/output are z-pair packed (B, X, Y, Z//2, 2C) and the
+    # whole layer runs in the packed domain (lane-full buffers,
+    # PERF_NOTES round 3); requires a fully packable order (gcrle)
+    packed_io: bool = False
+
+    def _packed_forward(self, x: Array, residual, post_act: str) -> Array:
+        """Packed-domain layer: the (GN?, conv, act?) window runs as one
+        conv3x3x3_p call; a trailing residual+post_act epilogue (the
+        ResNetBlock tail) fuses into the same kernel when the conv ends
+        the order."""
+        from gfe_mamba_tpu.ops.pallas.conv3d import _apply_act
+        order = self.order
+        assert set(order) <= set("gcrle"), (
+            f"packed_io supports only 'gcrle' orders, got {order!r}")
+        use_bias = "g" not in order
+        conv_pos = order.index("c")
+        fuse_gn = conv_pos - 1 if (conv_pos > 0
+                                   and order[conv_pos - 1] == "g") else None
+        fuse_act = order[conv_pos + 1] if (
+            conv_pos + 1 < len(order) and order[conv_pos + 1] in "rle"
+        ) else None
+        consumed = {conv_pos}
+        if fuse_gn is not None:
+            consumed.add(fuse_gn)
+        if fuse_act is not None:
+            consumed.add(conv_pos + 1)
+        conv_is_last = max(consumed) == len(order) - 1
+        act_name = {"r": "relu", "e": "elu", "l": "leaky001",
+                    None: "none"}[fuse_act]
+
+        for i, ch in enumerate(order):
+            if i in consumed:
+                if ch != "c":
+                    continue
+                c_in = x.shape[-1] // 2
+                kernel, bias = _ConvParams(
+                    self.out_channels, (self.kernel_size,) * self.dims,
+                    use_bias, name="conv")(c_in)
+                dt = jnp.promote_types(x.dtype, kernel.dtype)
+                x = x.astype(dt)
+                pre_scale = pre_shift = None
+                if fuse_gn is not None:
+                    groups = (self.num_groups if c_in >= self.num_groups
+                              else 1)
+                    scale, gbias = _GroupNormParams(
+                        c_in, name=f"groupnorm_{fuse_gn}")()
+                    mu, rstd = group_norm_stats_p(x, groups, eps=1e-5)
+                    pre_scale = rstd * scale.astype(jnp.float32)[None, :]
+                    pre_shift = (gbias.astype(jnp.float32)[None, :]
+                                 - mu * pre_scale)
+                # residual + post-act fuse into the kernel only when the
+                # conv (window) ends the order and carries no act
+                # (conv3x3x3_p exclusivity rule)
+                kres = residual if (conv_is_last and fuse_act is None
+                                    and residual is not None) else None
+                x = conv3x3x3_p(
+                    x, kernel.astype(dt),
+                    None if bias is None else bias.astype(dt),
+                    pre_scale, pre_shift,
+                    None if kres is None else kres.astype(dt),
+                    act_name, post_act if kres is not None else "none")
+                if kres is not None:
+                    residual, post_act = None, "none"
+            elif ch in "rle":
+                x = _nonlinearity(ch)(x)
+            elif ch == "g":
+                c = x.shape[-1] // 2
+                groups = self.num_groups if c >= self.num_groups else 1
+                scale, gbias = _GroupNormParams(
+                    c, name=f"groupnorm_{i}")()
+                mu, rstd = group_norm_stats_p(x, groups, eps=1e-5)
+                a = rstd * scale.astype(jnp.float32)[None, :]
+                b = gbias.astype(jnp.float32)[None, :] - mu * a
+                a2 = jnp.tile(a, (1, 2)).astype(x.dtype)
+                b2 = jnp.tile(b, (1, 2)).astype(x.dtype)
+                x = x * a2[:, None, None, None, :] \
+                    + b2[:, None, None, None, :]
+        if residual is not None:
+            x = x + residual.astype(x.dtype)
+        if post_act != "none":
+            x = _apply_act(x, post_act)
+        return x
 
     def _fused_unit(self, x: Array, gn_index: "int | None",
                     act: "str | None", use_bias: bool) -> Array:
@@ -174,11 +268,17 @@ class SingleConv(nn.Module):
                           None: "none"}[act])
 
     @nn.compact
-    def __call__(self, x: Array, *, deterministic: bool = True) -> Array:
+    def __call__(self, x: Array, *, deterministic: bool = True,
+                 residual: "Array | None" = None,
+                 post_act: str = "none") -> Array:
         assert "c" in self.order, "Conv layer MUST be present"
         assert self.order[0] not in "rle", (
             "Non-linearity cannot be the first operation in the layer"
         )
+        if self.packed_io:
+            return self._packed_forward(x, residual, post_act)
+        assert residual is None and post_act == "none", (
+            "residual/post_act epilogue requires packed_io")
         use_bias = not ("g" in self.order or "b" in self.order)
         conv_pos = self.order.index("c")
 
@@ -307,12 +407,17 @@ class ResNetBlock(nn.Module):
     num_groups: int = 8
     dims: int = 3
     conv_impl: str = "auto"
+    packed_io: bool = False
 
     @nn.compact
     def __call__(self, x: Array, *, deterministic: bool = True) -> Array:
         impl = resolve_conv_impl(self.conv_impl, self.dims, 3, 1)
-        if x.shape[-1] != self.out_channels:
-            if impl == "fused":
+        in_ch = x.shape[-1] // 2 if self.packed_io else x.shape[-1]
+        if in_ch != self.out_channels:
+            if self.packed_io:
+                residual = DotConv1x1(self.out_channels, self.dims,
+                                      packed_io=True, name="conv1")(x)
+            elif impl == "fused":
                 residual = DotConv1x1(self.out_channels, self.dims,
                                       name="conv1")(x)
             else:
@@ -324,11 +429,22 @@ class ResNetBlock(nn.Module):
 
         out = SingleConv(
             self.out_channels, self.kernel_size, self.order, self.num_groups,
-            dims=self.dims, conv_impl=self.conv_impl, name="conv2",
+            dims=self.dims, conv_impl=self.conv_impl,
+            packed_io=self.packed_io, name="conv2",
         )(residual, deterministic=deterministic)
         n_order = self.order
         for c in "rel":
             n_order = n_order.replace(c, "")
+        post = ("leaky01" if "l" in self.order
+                else "elu" if "e" in self.order else "relu")
+        if self.packed_io:
+            # residual sum + tail non-linearity fuse into conv3's kernel
+            return SingleConv(
+                self.out_channels, self.kernel_size, n_order,
+                self.num_groups, dims=self.dims, conv_impl=self.conv_impl,
+                packed_io=True, name="conv3",
+            )(out, deterministic=deterministic, residual=residual,
+              post_act=post)
         out = SingleConv(
             self.out_channels, self.kernel_size, n_order, self.num_groups,
             dims=self.dims, conv_impl=self.conv_impl, name="conv3",
@@ -421,8 +537,11 @@ _BASIC_MODULES = {
 
 def _make_basic(basic_module: str, out_channels: int, *, encoder: bool,
                 kernel_size, order, num_groups, padding, upscale,
-                dropout_prob, dims, name, conv_impl="auto"):
+                dropout_prob, dims, name, conv_impl="auto",
+                packed_io=False):
     """Instantiate a basic block by name, passing only the args it takes."""
+    assert not (packed_io and basic_module != "ResNetBlock"), (
+        "packed_io is only plumbed through ResNetBlock")
     if basic_module == "DoubleConv":
         return DoubleConv(
             out_channels, encoder=encoder, kernel_size=kernel_size,
@@ -433,7 +552,8 @@ def _make_basic(basic_module: str, out_channels: int, *, encoder: bool,
     if basic_module == "ResNetBlock":
         return ResNetBlock(
             out_channels, kernel_size=kernel_size, order=order,
-            num_groups=num_groups, dims=dims, conv_impl=conv_impl, name=name,
+            num_groups=num_groups, dims=dims, conv_impl=conv_impl,
+            packed_io=packed_io, name=name,
         )
     if basic_module == "ResNetBlockSE":
         return ResNetBlockSE(
@@ -459,21 +579,28 @@ class Encoder(nn.Module):
     dropout_prob: float = 0.1
     dims: int = 3
     conv_impl: str = "auto"
+    packed_io: bool = False
 
     @nn.compact
     def __call__(self, x: Array, *, deterministic: bool = True) -> Array:
         if self.apply_pooling:
-            window = (self.pool_kernel_size,) * self.dims
-            if self.pool_type == "max":
-                x = nn.max_pool(x, window, strides=window)
+            if self.packed_io:
+                assert self.pool_kernel_size == 2
+                x = (max_pool_packed(x) if self.pool_type == "max"
+                     else avg_pool_packed(x))
             else:
-                x = nn.avg_pool(x, window, strides=window)
+                window = (self.pool_kernel_size,) * self.dims
+                if self.pool_type == "max":
+                    x = nn.max_pool(x, window, strides=window)
+                else:
+                    x = nn.avg_pool(x, window, strides=window)
         block = _make_basic(
             self.basic_module, self.out_channels, encoder=True,
             kernel_size=self.conv_kernel_size, order=self.order,
             num_groups=self.num_groups, padding=self.padding,
             upscale=self.upscale, dropout_prob=self.dropout_prob,
-            dims=self.dims, conv_impl=self.conv_impl, name="basic_module",
+            dims=self.dims, conv_impl=self.conv_impl,
+            packed_io=self.packed_io, name="basic_module",
         )
         return block(x, deterministic=deterministic)
 
@@ -524,18 +651,63 @@ class Decoder(nn.Module):
     dropout_prob: float = 0.1
     dims: int = 3
     conv_impl: str = "auto"
-    # False (default, TPU-fast): asymmetric deconv padding (1,0) emits
-    # exactly 2n samples -- even tile-friendly sizes, no resize.  True:
-    # reproduce the reference's torch workaround exactly (symmetric
-    # padding -> 2n-1 samples -> nearest-resize to the skip's size,
-    # buildingblocks.py:512-531); only the boundary sample differs.
+    packed_io: bool = False
+    # False (default, TPU-fast): the octant-decomposed stride-2
+    # transposed conv emitting exactly 2n samples
+    # (ops/pallas/conv3d.py deconv3x3x3_s2_packed) -- even
+    # tile-friendly sizes, no resize, and the output materializes
+    # z-pair-packed (lane-full).  True: reproduce the reference's torch
+    # workaround exactly (symmetric padding -> 2n-1 samples ->
+    # nearest-resize to the skip's size, buildingblocks.py:512-531);
+    # only boundary samples differ.
     exact_reference_upsample: bool = False
+
+    def _octant_ok(self, in_dtype_shape_z: int) -> bool:
+        return (not self.exact_reference_upsample
+                and self.dims == 3 and self.conv_kernel_size == 3
+                and self.scale_factor == 2 and in_dtype_shape_z % 2 == 0)
+
+    def _deconv_params(self, in_ch: int):
+        kernel, _ = _ConvParams(
+            self.out_channels, (self.conv_kernel_size,) * self.dims,
+            False, name="upsampling")(in_ch)
+        return kernel
 
     @nn.compact
     def __call__(self, encoder_features: Array, x: Array,
                  *, deterministic: bool = True) -> Array:
+        from gfe_mamba_tpu.ops.pallas.conv3d import deconv3x3x3_s2_packed
         upsample = self.upsample
         concat = True
+        if self.packed_io:
+            # packed domain: the octant deconv consumes and emits packed
+            # tensors; sum-join + block stay packed
+            assert self.basic_module != "DoubleConv"
+            assert upsample in ("default", "deconv")
+            if self._octant_ok(2 * x.shape[3]):
+                kernel = self._deconv_params(x.shape[-1] // 2)
+                x = deconv3x3x3_s2_packed(x, kernel.astype(x.dtype))
+            else:
+                x = nn.ConvTranspose(
+                    self.out_channels,
+                    kernel_size=(self.conv_kernel_size,) * self.dims,
+                    strides=(self.scale_factor,) * self.dims,
+                    padding=[(1, 1)] * self.dims,
+                    use_bias=False, name="upsampling",
+                )(unpack_z(x))
+                target = (encoder_features.shape[1],
+                          encoder_features.shape[2],
+                          encoder_features.shape[3] * 2)
+                x = pack_z(_interpolate_to(x, target, "nearest"))
+            x = encoder_features + x
+            return _make_basic(
+                self.basic_module, self.out_channels, encoder=False,
+                kernel_size=self.conv_kernel_size, order=self.order,
+                num_groups=self.num_groups, padding=self.padding,
+                upscale=2, dropout_prob=self.dropout_prob, dims=self.dims,
+                conv_impl=self.conv_impl, packed_io=True,
+                name="basic_module",
+            )(x, deterministic=deterministic)
         if upsample is not None and upsample != "none":
             if upsample == "default":
                 if self.basic_module == "DoubleConv":
@@ -544,19 +716,21 @@ class Decoder(nn.Module):
                     upsample, concat = "deconv", False
             target_spatial = encoder_features.shape[1:-1]
             if upsample == "deconv":
-                if self.exact_reference_upsample:
-                    pad = [(1, 1)] * self.dims
+                if self._octant_ok(x.shape[3]):
+                    # same function as the packed path -> the two
+                    # conv_impl modes stay numerically identical
+                    kernel = self._deconv_params(x.shape[-1])
+                    x = unpack_z(deconv3x3x3_s2_packed(
+                        pack_z(x), kernel.astype(x.dtype)))
                 else:
-                    # (n-1)*s + k - (1+0) == 2n for k=3, s=2
-                    pad = [(1, 0)] * self.dims
-                x = nn.ConvTranspose(
-                    self.out_channels,
-                    kernel_size=(self.conv_kernel_size,) * self.dims,
-                    strides=(self.scale_factor,) * self.dims,
-                    padding=pad,
-                    use_bias=False,
-                    name="upsampling",
-                )(x)
+                    x = nn.ConvTranspose(
+                        self.out_channels,
+                        kernel_size=(self.conv_kernel_size,) * self.dims,
+                        strides=(self.scale_factor,) * self.dims,
+                        padding=[(1, 1)] * self.dims,
+                        use_bias=False,
+                        name="upsampling",
+                    )(x)
                 x = _interpolate_to(x, target_spatial, "nearest")
             else:
                 method = {"trilinear": "trilinear", "bilinear": "bilinear",
@@ -584,7 +758,8 @@ def make_encoder_stack(f_maps: Sequence[int], basic_module: str,
                        conv_kernel_size: int, conv_padding: int,
                        conv_upscale: int, dropout_prob, layer_order: str,
                        num_groups: int, pool_kernel_size: int,
-                       dims: int, conv_impl: str = "auto") -> list[Encoder]:
+                       dims: int, conv_impl: str = "auto",
+                       packed_io: bool = False) -> list[Encoder]:
     """Mirror of reference create_encoders (buildingblocks.py:403-435)."""
     encoders = []
     for i, out_feature_num in enumerate(f_maps):
@@ -601,6 +776,7 @@ def make_encoder_stack(f_maps: Sequence[int], basic_module: str,
             dropout_prob=dropout_prob,
             dims=dims,
             conv_impl=conv_impl,
+            packed_io=packed_io,
             name=f"encoder_{i}",
         ))
     return encoders
@@ -611,7 +787,8 @@ def make_decoder_stack(f_maps: Sequence[int], basic_module: str,
                        layer_order: str, num_groups: int, upsample: str,
                        dropout_prob, dims: int,
                        exact_reference_upsample: bool = False,
-                       conv_impl: str = "auto") -> list[Decoder]:
+                       conv_impl: str = "auto",
+                       packed_io: bool = False) -> list[Decoder]:
     """Mirror of reference create_decoders (buildingblocks.py:438-461)."""
     decoders = []
     reversed_f_maps = list(reversed(f_maps))
@@ -628,6 +805,7 @@ def make_decoder_stack(f_maps: Sequence[int], basic_module: str,
             dims=dims,
             exact_reference_upsample=exact_reference_upsample,
             conv_impl=conv_impl,
+            packed_io=packed_io,
             name=f"decoder_{i}",
         ))
     return decoders

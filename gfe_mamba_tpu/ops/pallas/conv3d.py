@@ -63,8 +63,8 @@ def _apply_act(y: Array, act: str) -> Array:
     raise ValueError(f"unknown activation {act!r}")
 
 
-def _kernel(w_ref, b_ref, x_ref, out_ref, in_buf, a4_buf, sem, *, XT, YT,
-            ZH, C, F, act, out_dtype):
+def _kernel(w_ref, b_ref, x_ref, *rest, XT, YT,
+            ZH, C, F, act, out_dtype, with_res=False, post_act="none"):
     """One (b, i, j) output tile.
 
     z-pairs are packed into the lane dim outside the kernel (fine z =
@@ -75,6 +75,11 @@ def _kernel(w_ref, b_ref, x_ref, out_ref, in_buf, a4_buf, sem, *, XT, YT,
     (4/3 FLOP inflation) -- a bargain against the 5x GN->conv XLA
     fusion pathology this kernel replaces.
     """
+    if with_res:
+        res_ref, out_ref, in_buf, a4_buf, sem = rest
+    else:
+        out_ref, in_buf, a4_buf, sem = rest
+        res_ref = None
     b = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
@@ -126,6 +131,11 @@ def _kernel(w_ref, b_ref, x_ref, out_ref, in_buf, a4_buf, sem, *, XT, YT,
 
     acc += b_ref[0].astype(jnp.float32)
     acc = _apply_act(acc, act)
+    if res_ref is not None:
+        # fused ResNetBlock tail: (conv + residual) -> non-linearity
+        # (buildingblocks.py:216-228) without materializing the sum
+        acc = acc + res_ref[0].astype(jnp.float32)
+    acc = _apply_act(acc, post_act)
     out_ref[0] = acc.astype(out_dtype)
 
 
@@ -143,74 +153,114 @@ def _pack_weights(w, dtype):
     return w4.reshape(3, 3, 4 * C, 2 * F).reshape(9, 4 * C, 2 * F)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("act", "out_dtype", "xt", "yt", "interpret"))
-def _conv3x3x3_fused(x, w, bias, pre_scale, pre_shift, *, act="none",
-                     out_dtype=None, xt=8, yt=8, interpret=False):
-    """act(conv3d(x * pre_scale + pre_shift, w) + bias), SAME, stride 1.
+def pack_z(x: Array) -> Array:
+    """(B, X, Y, Z, C) -> (B, X, Y, Z//2, 2C): z-pair lane packing.
 
-    x: (B, X, Y, Z, C) with Z even; w: (3,3,3,C,F); bias: (F,) or None;
-    pre_scale/pre_shift: (B, C) or None (the folded GN apply).
-    """
+    A free bitcast for dense layouts; materializing the PACKED form is
+    the whole point -- a (..., Z, 64) buffer tile-pads lanes 64->128
+    (2x HBM) while (..., Z//2, 128) is lane-full (PERF_NOTES r3)."""
     B, X, Y, Z, C = x.shape
+    return x.reshape(B, X, Y, Z // 2, 2 * C)
+
+
+def unpack_z(xp: Array) -> Array:
+    """Inverse of :func:`pack_z`."""
+    B, X, Y, ZH, C2 = xp.shape
+    return xp.reshape(B, X, Y, ZH * 2, C2 // 2)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("act", "post_act", "out_dtype", "xt", "yt", "interpret"))
+def _conv3x3x3_fused_p(xv, w, bias, pre_scale, pre_shift, residual=None, *,
+                       act="none", post_act="none", out_dtype=None, xt=8,
+                       yt=8, interpret=False):
+    """Packed-domain fused unit: all tensor IO is z-pair packed.
+
+    Computes ``post_act(act(conv3d(x*scale+shift, w) + bias)
+    + residual)`` where x is the unpacked view of ``xv``
+    (B, X, Y, ZH, 2C) and the output / ``residual`` are packed
+    (B, X, Y, ZH, 2F).  pre_scale/pre_shift: (B, C) or None.
+    """
+    B, X, Y, ZH, C2 = xv.shape
+    C = C2 // 2
     F = w.shape[-1]
-    assert Z % 2 == 0, "z-pair packing needs even Z"
-    out_dtype = out_dtype or x.dtype
+    out_dtype = out_dtype or xv.dtype
     XT, YT = xt, yt
     nx, ny = pl.cdiv(X, XT), pl.cdiv(Y, YT)
-    ZH = Z // 2
     ZP = -(-(ZH + 2) // 8) * 8   # packed z rows incl. halo, 8-aligned
 
-    # z-pack FIRST via a free bitcast reshape -- every intermediate then
-    # has a 128-multiple minor dim (a (..., Z, 64) layout tile-pads
-    # lanes 64->128 and doubles HBM), THEN fold the GN apply + halo pad
-    # into one fused producer pass.  One packed row of zero padding in
-    # front == two fine-z zeros.
-    xv = x.reshape(B, X, Y, ZH, 2 * C)
+    # fold the GN apply + halo pad into one producer pass over the
+    # (already packed, lane-full) input
     if pre_scale is not None:
-        a2 = jnp.tile(pre_scale, (1, 2)).astype(x.dtype)
+        a2 = jnp.tile(pre_scale, (1, 2)).astype(xv.dtype)
         xv = xv * a2[:, None, None, None, :]
     if pre_shift is not None:
-        b2 = jnp.tile(pre_shift, (1, 2)).astype(x.dtype)
+        b2 = jnp.tile(pre_shift, (1, 2)).astype(xv.dtype)
         xv = xv + b2[:, None, None, None, :]
     pad = ((0, 0), (1, nx * XT - X + 1), (1, ny * YT - Y + 1),
            (1, ZP - ZH - 1), (0, 0))
     xp = jnp.pad(xv, pad)
 
-    wr = _pack_weights(w, x.dtype)
-    b_in = (bias if bias is not None else jnp.zeros((F,), x.dtype))
-    b_in = jnp.tile(b_in.astype(x.dtype), 2).reshape(1, 2 * F)
+    wr = _pack_weights(w, xv.dtype)
+    b_in = (bias if bias is not None else jnp.zeros((F,), xv.dtype))
+    b_in = jnp.tile(b_in.astype(xv.dtype), 2).reshape(1, 2 * F)
+
+    in_specs = [
+        pl.BlockSpec((9, 4 * C, 2 * F), lambda b, i, j: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 2 * F), lambda b, i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    operands = [wr, b_in, xp]
+    with_res = residual is not None
+    if with_res:
+        if (X, Y) != (nx * XT, ny * YT):
+            residual = jnp.pad(residual, (
+                (0, 0), (0, nx * XT - X), (0, ny * YT - Y), (0, 0), (0, 0)))
+        in_specs.append(pl.BlockSpec(
+            (1, XT, YT, ZH, 2 * F), lambda b, i, j: (b, i, j, 0, 0),
+            memory_space=pltpu.VMEM))
+        operands.append(residual)
 
     out = pl.pallas_call(
         functools.partial(_kernel, XT=XT, YT=YT, ZH=ZH, C=C, F=F, act=act,
-                          out_dtype=out_dtype),
+                          out_dtype=out_dtype, with_res=with_res,
+                          post_act=post_act),
         grid=(B, nx, ny),
-        in_specs=[
-            pl.BlockSpec((9, 4 * C, 2 * F), lambda b, i, j: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2 * F), lambda b, i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, XT, YT, ZH, 2 * F), lambda b, i, j: (b, i, j, 0, 0),
             memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, nx * XT, ny * YT, ZH, 2 * F),
                                        out_dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, XT + 2, YT + 2, ZP, 2 * C), x.dtype),
-            pltpu.VMEM((XT + 2, YT + 2, ZH, 4 * C), x.dtype),
+            pltpu.VMEM((2, XT + 2, YT + 2, ZP, 2 * C), xv.dtype),
+            pltpu.VMEM((XT + 2, YT + 2, ZH, 4 * C), xv.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * X * Y * Z * 36 * C * F,
-            bytes_accessed=(xp.size + B * X * Y * Z * F) * x.dtype.itemsize,
-            transcendentals=B * X * Y * Z * F if act == "elu" else 0,
+            flops=2 * B * X * Y * (2 * ZH) * 36 * C * F,
+            bytes_accessed=(xp.size + (1 + with_res) * B * X * Y * ZH * 2 * F)
+            * xv.dtype.itemsize,
+            transcendentals=B * X * Y * ZH * 2 * F
+            if "elu" in (act, post_act) else 0,
         ),
         interpret=interpret,
-    )(wr, b_in, xp)
-    out = out.reshape(B, nx * XT, ny * YT, Z, F)
+    )(*operands)
     return out[:, :X, :Y]
+
+
+def _conv3x3x3_fused(x, w, bias, pre_scale, pre_shift, *, act="none",
+                     out_dtype=None, xt=8, yt=8, interpret=False):
+    """Unpacked wrapper around the packed core (legacy interface):
+    act(conv3d(x * pre_scale + pre_shift, w) + bias), SAME, stride 1.
+    x: (B, X, Y, Z, C) with Z even; w: (3,3,3,C,F)."""
+    out = _conv3x3x3_fused_p(pack_z(x), w, bias, pre_scale, pre_shift,
+                             act=act, out_dtype=out_dtype, xt=xt, yt=yt,
+                             interpret=interpret)
+    return unpack_z(out)
 
 
 def _reference_impl(x, w, bias, pre_scale, pre_shift, act):
@@ -306,7 +356,10 @@ def _bwd(act, res, g):
     g = g.astype(x.dtype)
     ag = _act_grad_from_out(out, act)
     g0 = g if ag is None else g * ag.astype(g.dtype)
+    return _bwd_core(x, w, bias, pre_scale, pre_shift, g0)
 
+
+def _bwd_core(x, w, bias, pre_scale, pre_shift, g0):
     # dz = conv(g0, flip(w)^T)
     wf = w[::-1, ::-1, ::-1].transpose(0, 1, 2, 4, 3)
     dz = _dispatch(g0, wf.astype(g0.dtype), None, None, None, "none")
@@ -348,26 +401,203 @@ def _bwd(act, res, g):
 conv3x3x3.defvjp(_fwd, _bwd)
 
 
+def _group_fold(mu_c, ex2_c, num_groups: int, eps: float):
+    """Per-channel means -> per-channel (mu, rstd) of the channel's
+    group (equal weights within a group -> exact)."""
+    B, C = mu_c.shape
+    per = C // num_groups
+    mu = mu_c.reshape(B, num_groups, per).mean(-1)  # (B, G)
+    ex2 = ex2_c.reshape(B, num_groups, per).mean(-1)
+    rstd = jax.lax.rsqrt(ex2 - mu * mu + eps)
+    return (jnp.repeat(mu, per, axis=-1),
+            jnp.repeat(rstd, per, axis=-1))
+
+
 def group_norm_stats(x: Array, num_groups: int, eps: float = 1e-5):
     """Per-(batch, channel) GN affine folded with (gamma, beta) left to
     the caller: returns (mu, rstd) each (B, C) in f32, exactly the
     torch/flax GroupNorm statistics (reduce over spatial dims and the
     channels of each group)."""
-    B, C = x.shape[0], x.shape[-1]
-    per = C // num_groups
     spatial = tuple(range(1, x.ndim - 1))
     # reduce per-channel FIRST (keeps the minor dim C -- a big
     # (..., G, per) reshape materializes with 16x tile padding on TPU),
-    # then average channels within each group (equal weights -> exact)
+    # then average channels within each group
     xf = x.astype(jnp.float32)
     mu_c = xf.mean(axis=spatial)                    # (B, C)
     ex2_c = (xf * xf).mean(axis=spatial)
-    mu = mu_c.reshape(B, num_groups, per).mean(-1)  # (B, G)
-    ex2 = ex2_c.reshape(B, num_groups, per).mean(-1)
-    rstd = jax.lax.rsqrt(ex2 - mu * mu + eps)
-    mu = jnp.repeat(mu, per, axis=-1)               # (B, C)
-    rstd = jnp.repeat(rstd, per, axis=-1)
-    return mu, rstd
+    return _group_fold(mu_c, ex2_c, num_groups, eps)
+
+
+def group_norm_stats_p(xp: Array, num_groups: int, eps: float = 1e-5):
+    """:func:`group_norm_stats` over a z-pair-packed (B,X,Y,ZH,2C)
+    tensor: channel c lives at lanes c and C+c; per-lane means combine
+    exactly (both halves hold Z/2 of the Z spatial samples)."""
+    C = xp.shape[-1] // 2
+    xf = xp.astype(jnp.float32)
+    m2 = xf.mean(axis=(1, 2, 3))                    # (B, 2C)
+    e2 = (xf * xf).mean(axis=(1, 2, 3))
+    mu_c = 0.5 * (m2[:, :C] + m2[:, C:])
+    ex2_c = 0.5 * (e2[:, :C] + e2[:, C:])
+    return _group_fold(mu_c, ex2_c, num_groups, eps)
+
+
+# --------------------------------------------------------------------------
+# Packed-domain public ops: the whole fused path flows z-pair packed
+# (B, X, Y, Z//2, 2C) so every materialized buffer is lane-full.
+# Round-3 fix for the dec2/enc1 glue (PERF_NOTES "Round 3").
+# --------------------------------------------------------------------------
+
+def _reference_impl_p(xv, w, bias, pre_scale, pre_shift, residual, act,
+                      post_act):
+    """XLA twin of the packed fused unit (non-TPU fallback + VJP
+    reference)."""
+    y = _reference_impl(unpack_z(xv), w, bias, pre_scale, pre_shift, act)
+    y = pack_z(y)
+    if residual is not None:
+        y = y + residual.astype(y.dtype)
+    return _apply_act(y, post_act).astype(xv.dtype)
+
+
+def _dispatch_p(xv, w, bias, pre_scale, pre_shift, residual, act, post_act):
+    platform = jax.devices()[0].platform
+    B, X, Y, ZH, C2 = xv.shape
+    C = C2 // 2
+    tiles = _pick_tiles((B, X, Y, 2 * ZH, C), w.shape, xv.dtype.itemsize)
+    if (platform in ("tpu", "axon") and tiles is not None
+            and C2 >= 128 and C % 64 == 0):
+        return _conv3x3x3_fused_p(xv, w, bias, pre_scale, pre_shift,
+                                  residual, act=act, post_act=post_act,
+                                  xt=tiles[0], yt=tiles[1])
+    return _reference_impl_p(xv, w, bias, pre_scale, pre_shift, residual,
+                             act, post_act)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def conv3x3x3_p(xv, w, bias, pre_scale, pre_shift, residual=None,
+                act="none", post_act="none"):
+    """Packed fused unit: ``post_act(act(conv3d(x*scale+shift, w)
+    + bias) + residual)`` with all tensor IO z-pair packed
+    (B, X, Y, Z//2, 2C).  Pallas forward on TPU, XLA elsewhere.
+
+    ``act != 'none'`` may not be combined with a residual/post_act
+    epilogue: the backward recovers act' from the saved OUTPUT, and
+    un-doing the epilogue first re-introduces float noise around relu's
+    exact zeros (sign-flipped gradients).  The ResNetBlock uses only
+    the two supported shapes: GN+conv+act (conv2) and
+    GN+conv+residual+post_act (conv3, act stripped)."""
+    if act != "none" and (residual is not None or post_act != "none"):
+        raise ValueError(
+            "conv3x3x3_p: act together with residual/post_act is "
+            "unsupported (compose a plain-act call with an XLA epilogue "
+            "instead)")
+    return _dispatch_p(xv, w, bias, pre_scale, pre_shift, residual, act,
+                       post_act)
+
+
+def _fwd_p(xv, w, bias, pre_scale, pre_shift, residual, act, post_act):
+    out = _dispatch_p(xv, w, bias, pre_scale, pre_shift, residual, act,
+                      post_act)
+    return out, (xv, w, bias, pre_scale, pre_shift, residual, out)
+
+
+def _bwd_p(act, post_act, res, g):
+    """Packed backward: epilogue gradients recovered from the saved
+    OUTPUT (post_act' via sign; the pre-residual value via the
+    activation inverse minus the saved residual input), then the same
+    fast core as the unpacked op (dz = packed flip-conv through the
+    fused kernel, dw = 27 huge-K dots)."""
+    xv, w, bias, pre_scale, pre_shift, residual, out = res
+    g = g.astype(xv.dtype)
+    pag = _act_grad_from_out(out, post_act)
+    g2 = g if pag is None else g * pag.astype(g.dtype)
+    dres = g2 if residual is not None else None
+    # act and (residual | post_act) are mutually exclusive (see
+    # conv3x3x3_p), so act' is recoverable directly from the output
+    ag = _act_grad_from_out(out, act) if act != "none" else None
+    g1 = g2 if ag is None else g2 * ag.astype(g2.dtype)
+
+    dx, dw, dbias, da, db = _bwd_core(
+        unpack_z(xv), w, bias, pre_scale, pre_shift, unpack_z(g1))
+    return (pack_z(dx), dw, dbias, da, db, dres)
+
+
+conv3x3x3_p.defvjp(_fwd_p, _bwd_p)
+
+
+def deconv3x3x3_s2_packed(xp: Array, w: Array) -> Array:
+    """k=3 stride-2 transposed conv with flax
+    ``ConvTranspose(padding=[(1, 0)])`` semantics (2n outputs), packed
+    IO -- the octant decomposition.
+
+    A transposed conv's output positions split by parity into 8 octant
+    classes, each an ordinary stride-1 conv with a 1-2 tap kernel slice:
+    ``out[o] = sum_k w[k] x[(o+k-1)/2]`` per axis, so even outputs read
+    tap k=1 (shift 0) and odd outputs taps k=0 (shift 0) + k=2
+    (shift +1).  Each class is a handful of huge-M channel dots (MXU)
+    and the two z parities land directly in the packed output lanes --
+    no full-resolution (.., Z, C) buffer ever materializes.  Replaces
+    XLA's lhs-dilated conv lowering, which cost ~110 ms of the 160 ms
+    dec2 segment at batch 4 (PERF_NOTES round 3).
+
+    xp: (B, X, Y, ZH, 2*Ci); w: (3, 3, 3, Ci, Co) (the flax
+    ConvTranspose kernel, unchanged).  Returns (B, 2X, 2Y, 2*ZH, 2*Co)
+    packed, i.e. fine shape (2X, 2Y, 4*ZH... the fine z doubles: output
+    packed rows equal the input's fine z extent.
+    """
+    x = unpack_z(xp)                     # free bitcast at Ci >= 64
+    B, X, Y, Z, Ci = x.shape
+    Co = w.shape[-1]
+    dt = xp.dtype
+    # one 2x2x2 conv to 8*Co channels + depth-to-space: the 27 taps
+    # distribute over the (shift, parity) kernel W'[s, ci, (p, co)]
+    # with per-axis fills (s=0,p=0)<-k1, (s=0,p=1)<-k0, (s=1,p=1)<-k2.
+    # 27/64 slots are non-zero (2.37x FLOP inflation on ~5% of the
+    # model's FLOPs) but everything runs as ONE lane-full MXU conv --
+    # the 27-separate-dot formulation materialized 27 f32 partials
+    # (~40 ms of HBM traffic at the dec2 shape).
+    A = ((0, 0, 1), (0, 1, 0), (1, 1, 2))   # (shift, parity, tap)
+    w4 = jnp.zeros((2, 2, 2, Ci, 2, 2, 2, Co), dt)
+    wt = w.astype(dt)
+    for sx, px, kx in A:
+        for sy, py, ky in A:
+            for sz, pz, kz in A:
+                w4 = w4.at[sx, sy, sz, :, px, py, pz, :].set(
+                    wt[kx, ky, kz])
+    W = w4.reshape(2, 2, 2, Ci, 8 * Co)
+    xpad = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 1), (0, 0)))
+    y = jax.lax.conv_general_dilated(
+        xpad, W, (1, 1, 1), "VALID",
+        dimension_numbers=("NHWDC", "HWDIO", "NHWDC"))
+    # (B, X, Y, Z, px, py, 2*Co) -> interleave x/y parities; the (pz,
+    # co) minor pair IS the packed-z lane layout already
+    y = y.reshape(B, X, Y, Z, 2, 2, 2 * Co)
+    o = y.transpose(0, 1, 4, 2, 5, 3, 6).reshape(B, 2 * X, 2 * Y, Z,
+                                                 2 * Co)
+    return o
+
+
+def _pool_pair(x, op, init) -> Array:
+    B, X, Y, ZH, C2 = x.shape
+    C = C2 // 2
+    t = jax.lax.reduce_window(
+        x, jnp.asarray(init, x.dtype), op, (1, 2, 2, 1, 1),
+        (1, 2, 2, 1, 1), "VALID")
+    # fine-z window 2 stride 2 == the two halves of one packed row
+    u = op(t[..., :C], t[..., C:])                  # (B,X/2,Y/2,ZH,C)
+    return u.reshape(B, X // 2, Y // 2, ZH // 2, C2)
+
+
+def max_pool_packed(xp: Array) -> Array:
+    """2x2x2 stride-2 max pool in the packed domain (ZH must be even)."""
+    assert xp.shape[3] % 2 == 0, "packed max pool needs even ZH"
+    return _pool_pair(xp, jax.lax.max, -jnp.inf)
+
+
+def avg_pool_packed(xp: Array) -> Array:
+    """2x2x2 stride-2 average pool in the packed domain (f32 accum)."""
+    assert xp.shape[3] % 2 == 0, "packed avg pool needs even ZH"
+    out = _pool_pair(xp.astype(jnp.float32), jax.lax.add, 0.0)
+    return (out / 8.0).astype(xp.dtype)
 
 
 def fused_gn_conv_act(x: Array, *, num_groups: int, gamma: Array,

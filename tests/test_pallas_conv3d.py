@@ -186,3 +186,139 @@ def test_unet_remat_parity_forward_and_grads():
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5), g, gr)
+
+
+# ---------------------------------------------------------------------------
+# Packed-domain path (round 3): z-pair packed IO between blocks
+# ---------------------------------------------------------------------------
+
+def test_packed_ops_match_unpacked():
+    from gfe_mamba_tpu.ops.pallas.conv3d import (
+        avg_pool_packed, group_norm_stats_p, max_pool_packed, pack_z,
+        unpack_z)
+    import flax.linen as nn
+
+    x = _rand(0, (2, 8, 8, 8, 64))
+    mu, rstd = group_norm_stats(x, 8)
+    mu2, rstd2 = group_norm_stats_p(pack_z(x), 8)
+    np.testing.assert_allclose(np.asarray(mu2), np.asarray(mu),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rstd2), np.asarray(rstd),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(unpack_z(max_pool_packed(pack_z(x)))),
+        np.asarray(nn.max_pool(x, (2, 2, 2), (2, 2, 2))), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(unpack_z(avg_pool_packed(pack_z(x)))),
+        np.asarray(nn.avg_pool(x, (2, 2, 2), (2, 2, 2))),
+        rtol=1e-5, atol=1e-5)
+
+
+def test_conv3x3x3_p_residual_epilogue_fwd_and_grads():
+    """The flagship conv3 shape: act none + residual + post_act, packed
+    IO, against the XLA composition (values and grads)."""
+    from gfe_mamba_tpu.ops.pallas.conv3d import conv3x3x3_p, pack_z, unpack_z
+
+    x = _rand(0, (2, 8, 8, 8, 64))
+    w = _rand(1, (3, 3, 3, 64, 64)) * 0.05
+    res = _rand(2, (2, 8, 8, 8, 64))
+    mu, rstd = group_norm_stats(x, 8)
+    a, b = rstd, -mu * rstd
+
+    got = unpack_z(conv3x3x3_p(pack_z(x), w, None, a, b, pack_z(res),
+                               "none", "relu"))
+    want = jax.nn.relu(_reference_impl(x, w, None, a, b, "none") + res)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+    def f_p(x, w, res):
+        return jnp.mean(conv3x3x3_p(pack_z(x), w, None, a, b,
+                                    pack_z(res), "none", "relu") ** 2)
+
+    def f_r(x, w, res):
+        return jnp.mean(jax.nn.relu(
+            _reference_impl(x, w, None, a, b, "none") + res) ** 2)
+
+    gp = jax.grad(f_p, (0, 1, 2))(x, w, res)
+    gr = jax.grad(f_r, (0, 1, 2))(x, w, res)
+    for a1, a2 in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a1), np.asarray(a2),
+                                   rtol=1e-3, atol=1e-5)
+
+
+def test_conv3x3x3_p_rejects_act_with_epilogue():
+    from gfe_mamba_tpu.ops.pallas.conv3d import conv3x3x3_p, pack_z
+
+    x = _rand(0, (1, 8, 8, 8, 64))
+    w = _rand(1, (3, 3, 3, 64, 64))
+    with pytest.raises(ValueError):
+        conv3x3x3_p(pack_z(x), w, None, None, None, pack_z(x),
+                    "relu", "relu")
+
+
+def test_packed_kernel_interpret_residual():
+    """Pallas kernel (interpret mode) with the fused residual+post_act
+    epilogue vs the XLA composition."""
+    from gfe_mamba_tpu.ops.pallas.conv3d import _conv3x3x3_fused_p, pack_z, \
+        unpack_z
+
+    x = _rand(0, (1, 8, 8, 8, 64))
+    w = _rand(1, (3, 3, 3, 64, 64)) * 0.05
+    res = _rand(2, (1, 8, 8, 8, 64))
+    mu, rstd = group_norm_stats(x, 8)
+    a, b = rstd, -mu * rstd
+    got = unpack_z(_conv3x3x3_fused_p(
+        pack_z(x), w, None, a, b, pack_z(res), act="none", post_act="elu",
+        xt=4, yt=4, interpret=True))
+    want = jax.nn.elu(_reference_impl(x, w, None, a, b, "none") + res)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_packed_unet_parity_forward_vitmid_grads():
+    """Full flagship-shaped UNet with the packed flow active (f_maps all
+    %64, fused impl) vs the nn.Conv path: forward, output_vit_mid
+    triple, and gradients (relative tolerance -- the huge-K dw dots
+    differ only by f32 reduction order)."""
+    from gfe_mamba_tpu.models.unet3d import ResidualMidUNet3DViT
+
+    kw = dict(f_maps=(64, 128), is_segmentation=False, fold_factor=2,
+              vit_patch_size=4, vit_dim=32, vit_depth=1, vit_heads=2,
+              vit_mlp_dim=32)
+    m_x = ResidualMidUNet3DViT(1, 1, conv_impl="xla", **kw)
+    m_p = ResidualMidUNet3DViT(1, 1, conv_impl="fused", **kw)
+    x = _rand(0, (2, 16, 16, 8, 1))
+    params = m_x.init(jax.random.key(0), x)
+    p2 = m_p.init(jax.random.key(0), x)
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(p2))
+
+    np.testing.assert_allclose(np.asarray(m_p.apply(params, x)),
+                               np.asarray(m_x.apply(params, x)),
+                               rtol=2e-4, atol=2e-4)
+    for a, b in zip(m_p.apply(params, x, output_vit_mid=True),
+                    m_x.apply(params, x, output_vit_mid=True)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+    def loss(m):
+        return lambda p: jnp.mean(m.apply(p, x) ** 2)
+
+    gx = jax.grad(loss(m_x))(params)
+    gp = jax.grad(loss(m_p))(params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b),
+            atol=5e-3 * (np.max(np.abs(a)) + 1e-3)), gx, gp)
+
+
+def test_packed_unet_remat_parity():
+    from gfe_mamba_tpu.models.unet3d import ResidualUNet3D
+
+    kw = dict(f_maps=(64, 128), num_levels=2, is_segmentation=False)
+    m = ResidualUNet3D(1, 1, conv_impl="fused", remat=False, **kw)
+    mr = ResidualUNet3D(1, 1, conv_impl="fused", remat=True, **kw)
+    x = _rand(0, (1, 8, 8, 8, 1))
+    p = m.init(jax.random.key(0), x)
+    np.testing.assert_allclose(np.asarray(mr.apply(p, x)),
+                               np.asarray(m.apply(p, x)), atol=1e-6)

@@ -57,20 +57,24 @@ def main():
 
     model = ResidualMidUNet3DViT(1, 1, is_segmentation=False,
                                  f_maps=F_MAPS)
-    params = model.init(jax.random.key(0),
-                        jnp.zeros((1,) + IMG + (1,), jnp.bfloat16))
+    # jit the init: eager init at canonical size is hundreds of
+    # individual tunnel dispatches (~30 ms each) and can wedge
+    params = jax.jit(model.init)(jax.random.key(0),
+                                 jnp.zeros((1,) + IMG + (1,), jnp.bfloat16))
     params = jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16)
         if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, params)
     p_all = params["params"]
 
+    from gfe_mamba_tpu.ops.pallas.conv3d import pack_z, unpack_z
+    PACKED = True   # mirror the round-3 packed UNet flow
     encoders = make_encoder_stack(F_MAPS, "ResNetBlock", 3, 1, 2, 0.1,
-                                  "gcr", 8, 2, 3)
+                                  "gcr", 8, 2, 3, packed_io=PACKED)
     decoders = make_decoder_stack(F_MAPS, "ResNetBlock", 3, 1, "gcr", 8,
-                                  "default", 0.1, 3)
+                                  "default", 0.1, 3, packed_io=PACKED)
     vit = ImageToImageViT(patch_size=40, dim=512, depth=4, heads=6,
                           mlp_dim=2048, dropout=0.1, emb_dropout=0.1)
-    final = DotConv1x1(1, 3)
+    final = DotConv1x1(1, 3, packed_io=PACKED)
 
     # params must flow in as a jit ARGUMENT: closed-over device arrays
     # become jaxpr constants, and the axon remote-compile helper then
@@ -78,6 +82,8 @@ def main():
     # it for 10+ minutes)
     def run_stages(pp, x, upto):
         sub = lambda name: {"params": pp[name]}
+        if PACKED:
+            x = pack_z(x)
         skips = []
         for i, enc in enumerate(encoders):
             if upto < i:
@@ -86,9 +92,12 @@ def main():
             skips.insert(0, x)
         skips = skips[1:]
         if upto >= 3:
-            mid_in = fold_3d_to_2d(x, 8)
+            xu = unpack_z(x) if PACKED else x
+            mid_in = fold_3d_to_2d(xu, 8)
             mid_out = vit.apply(sub("mid"), mid_in, deterministic=True)
-            x = unfold_2d_to_3d(mid_out, 8, w=x.shape[3])
+            x = unfold_2d_to_3d(mid_out, 8, w=xu.shape[3])
+            if PACKED:
+                x = pack_z(x)
         if upto >= 4:
             x = decoders[0].apply(sub("decoder_0"), skips[0], x,
                                   deterministic=True)
