@@ -274,6 +274,157 @@ class StandardLabelToBoundary(Transform):
         return out[..., None] if squeeze else out
 
 
+def _recover_ignore_index(out, lab, ignore_index):
+    if ignore_index is not None:
+        out = np.where(lab == ignore_index, ignore_index, out)
+    return out
+
+
+class _AffinityBase(Transform):
+    """Shared machinery for the label->affinity family
+    (ref pytorch3dunet/augment/transforms.py:250-311).
+
+    An affinity channel for (axis, offset) marks voxels where the label
+    differs from the label ``offset`` voxels away along that axis,
+    computed as |convolve(m, k)| > 0 with a length-(offset+1) kernel
+    [+1, 0, ..., -1] oriented along the axis (scipy 'reflect' edges,
+    exactly the reference's operator).  Output is channels-LAST
+    (repo convention) vs the reference's channel-first stack.
+    """
+
+    # kernel-orientation permutations for the X / Y / Z axes
+    # (ref transforms.py:251-255 AXES_TRANSPOSE)
+    AXES = ((0, 1, 2), (0, 2, 1), (2, 0, 1))
+
+    def __init__(self, ignore_index=None, append_label=False,
+                 aggregate_affinities=False):
+        self.ignore_index = ignore_index
+        self.append_label = append_label
+        self.aggregate_affinities = aggregate_affinities
+
+    @staticmethod
+    def _kernel(axis_perm, offset):
+        k = np.zeros((1, 1, offset + 1), np.int32)
+        k[0, 0, 0] = 1
+        k[0, 0, offset] = -1
+        return np.transpose(k, axis_perm)
+
+    def _kernels(self):
+        raise NotImplementedError
+
+    def __call__(self, m):
+        from scipy.ndimage import convolve
+        lab = np.asarray(m)
+        assert lab.ndim == 3, "affinity transforms take a 3D label map"
+        chans = np.stack([(np.abs(convolve(lab, k)) > 0).astype(np.int64)
+                          for k in self._kernels()])
+        if self.aggregate_affinities:
+            assert len(chans) % 3 == 0, \
+                "aggregation needs one kernel per axis per offset"
+            results = [
+                _recover_ignore_index(
+                    np.logical_or.reduce(chans[i:i + 3]).astype(np.int64),
+                    lab, self.ignore_index)
+                for i in range(0, len(chans), 3)]
+        else:
+            results = [_recover_ignore_index(c, lab, self.ignore_index)
+                       for c in chans]
+        if self.append_label:
+            results.append(lab)
+        return np.stack(results, axis=-1).astype(np.float32)
+
+
+class LabelToAffinities(_AffinityBase):
+    """Label map -> per-(offset, axis) affinity channels
+    (ref transforms.py:401-437): for every xy_offset (paired with a
+    z_offset, default the same) emit X, Y, Z channels in that order;
+    ``aggregate_affinities`` ORs the three axes of each offset."""
+
+    def __init__(self, offsets, ignore_index=None, append_label=False,
+                 aggregate_affinities=False, z_offsets=None):
+        super().__init__(ignore_index, append_label, aggregate_affinities)
+        offsets = tuple(offsets)
+        assert all(a > 0 for a in offsets), "offsets must be positive"
+        assert len(set(offsets)) == len(offsets), "offsets must be unique"
+        z_offsets = tuple(z_offsets) if z_offsets is not None else offsets
+        assert len(z_offsets) == len(offsets)
+        self.kernels = [
+            self._kernel(axis, z_off if axis_ind == 2 else xy_off)
+            for xy_off, z_off in zip(offsets, z_offsets)
+            for axis_ind, axis in enumerate(self.AXES)]
+
+    def _kernels(self):
+        return self.kernels
+
+
+class LabelToZAffinities(_AffinityBase):
+    """Z-axis-only affinity channels (ref transforms.py:440-461)."""
+
+    def __init__(self, offsets, ignore_index=None, append_label=False):
+        super().__init__(ignore_index, append_label)
+        offsets = tuple(offsets)
+        assert all(a > 0 for a in offsets) and \
+            len(set(offsets)) == len(offsets)
+        self.kernels = [self._kernel(self.AXES[2], o) for o in offsets]
+
+    def _kernels(self):
+        return self.kernels
+
+
+class RandomLabelToAffinities(_AffinityBase):
+    """Single random-(axis, offset) affinity channel per call — a
+    boundary-thickness denoising scheme (ref transforms.py:373-398);
+    z offsets are scaled down by ``z_offset_scale`` for anisotropy."""
+
+    def __init__(self, rng, max_offset: int = 10, ignore_index=None,
+                 append_label=False, z_offset_scale: int = 2):
+        super().__init__(ignore_index, append_label,
+                         aggregate_affinities=False)
+        self.rng = rng
+        self.offsets = tuple(range(1, max_offset + 1))
+        self.z_offset_scale = z_offset_scale
+
+    def _kernels(self):
+        offset = int(self.rng.choice(self.offsets))
+        axis_ind = int(self.rng.integers(3))
+        if axis_ind == 2:
+            offset = max(1, offset // self.z_offset_scale)
+        return [self._kernel(self.AXES[axis_ind], offset)]
+
+
+class LabelToBoundaryAndAffinities(Transform):
+    """Boundary channel(s) + affinity channels, concatenated — trains
+    boundary prediction with affinities as an auxiliary target
+    (ref transforms.py:463-480).  ``blur`` gaussian-blurs only the
+    boundary channel, never the affinities."""
+
+    def __init__(self, xy_offsets, z_offsets, append_label=False,
+                 blur=False, sigma=1, ignore_index=None,
+                 foreground=False):
+        self.l2b = StandardLabelToBoundary(append_label=False)
+        self.blur, self.sigma = blur, sigma
+        self.foreground = foreground
+        self.l2a = LabelToAffinities(
+            offsets=xy_offsets, z_offsets=z_offsets,
+            append_label=append_label, ignore_index=ignore_index)
+
+    def __call__(self, m):
+        lab = np.asarray(m)
+        boundary = self.l2b(lab)
+        if boundary.ndim == 3:
+            boundary = boundary[..., None]
+        if self.blur:
+            from scipy.ndimage import gaussian_filter
+            boundary = gaussian_filter(
+                boundary.astype(np.float32), sigma=self.sigma)
+        parts = []
+        if self.foreground:
+            parts.append((lab > 0).astype(np.float32)[..., None])
+        parts.append(np.asarray(boundary, np.float32))
+        parts.append(self.l2a(lab))
+        return np.concatenate(parts, axis=-1)
+
+
 _TRANSFORMS = {
     "RandomFlip": RandomFlip,
     "RandomRotate90": RandomRotate90,
@@ -288,10 +439,15 @@ _TRANSFORMS = {
     "AdditivePoissonNoise": AdditivePoissonNoise,
     "ToTensor": ToTensor,
     "StandardLabelToBoundary": StandardLabelToBoundary,
+    "LabelToAffinities": LabelToAffinities,
+    "LabelToZAffinities": LabelToZAffinities,
+    "RandomLabelToAffinities": RandomLabelToAffinities,
+    "LabelToBoundaryAndAffinities": LabelToBoundaryAndAffinities,
 }
 _NEEDS_RNG = {"RandomFlip", "RandomRotate90", "RandomRotate",
               "RandomContrast", "ElasticDeformation", "CropToFixed",
-              "AdditiveGaussianNoise", "AdditivePoissonNoise"}
+              "AdditiveGaussianNoise", "AdditivePoissonNoise",
+              "RandomLabelToAffinities"}
 
 
 def build_transforms(spec: Sequence[dict], seed: int = 47) -> Compose:

@@ -265,3 +265,154 @@ def test_blobs_average_precision_factory():
     fn = get_evaluation_metric({"eval_metric": {
         "name": "BlobsAveragePrecision", "min_instance_size": 28}})
     assert fn(inp, tgt) == 0.0
+
+
+def test_label_to_affinities_golden():
+    """Hand-computed affinities on a 2-region volume (ref
+    pytorch3dunet/augment/transforms.py:401-437 semantics)."""
+    from gfe_mamba_tpu.segmentation.transforms import LabelToAffinities
+
+    # labels split along the LAST axis: [:, :, :2] = 1, [:, :, 2:] = 2
+    lab = np.ones((3, 3, 4), np.int64)
+    lab[:, :, 2:] = 2
+
+    out = LabelToAffinities(offsets=[1])(lab)
+    assert out.shape == (3, 3, 4, 3)  # X, Y, Z channels, channels-last
+    x_aff, y_aff, z_aff = out[..., 0], out[..., 1], out[..., 2]
+    # the label only changes along the last axis; the offset-1 kernel
+    # oriented along that axis (X in the reference's AXES_TRANSPOSE
+    # naming) is size-2, so scipy centers it at index 1 and marks the
+    # voxel i where m[i] != m[i+1] -- exactly one voxel per interface
+    expect_x = np.zeros((3, 3, 4))
+    expect_x[:, :, 1] = 1
+    np.testing.assert_array_equal(x_aff, expect_x)
+    np.testing.assert_array_equal(y_aff, 0)
+    np.testing.assert_array_equal(z_aff, 0)
+
+    # aggregate: OR over the three axes == the X channel here
+    agg = LabelToAffinities(offsets=[1], aggregate_affinities=True)(lab)
+    assert agg.shape == (3, 3, 4, 1)
+    np.testing.assert_array_equal(agg[..., 0], expect_x)
+
+    # append_label adds the raw labels as the last channel
+    app = LabelToAffinities(offsets=[1], append_label=True)(lab)
+    assert app.shape == (3, 3, 4, 4)
+    np.testing.assert_array_equal(app[..., 3], lab)
+
+
+def test_label_to_affinities_offset2_and_ignore():
+    from gfe_mamba_tpu.segmentation.transforms import LabelToAffinities
+
+    lab = np.ones((2, 2, 6), np.int64)
+    lab[:, :, 3:] = 5
+    out = LabelToAffinities(offsets=[2])(lab)
+    # offset-2 kernel [1, 0, -1] centered: |m[i-1] - m[i+1]| > 0 under
+    # scipy 'reflect' edges -> voxels within 1 of the 2|5 interface
+    expect = np.zeros((2, 2, 6))
+    expect[:, :, 2:4] = 1
+    np.testing.assert_array_equal(out[..., 0], expect)
+
+    ign = LabelToAffinities(offsets=[2], ignore_index=5)(lab)
+    # ignore_index restores the label where it sat in the input
+    np.testing.assert_array_equal(ign[..., 0][lab == 5], 5)
+    np.testing.assert_array_equal(
+        ign[..., 0][lab != 5], expect[lab != 5])
+
+
+def test_label_to_z_affinities_and_random():
+    from gfe_mamba_tpu.segmentation.transforms import (
+        LabelToZAffinities, RandomLabelToAffinities)
+
+    # label changes along the FIRST axis (= the reference's Z kernel
+    # orientation, AXES_TRANSPOSE[2] = (2, 0, 1))
+    lab = np.ones((4, 3, 3), np.int64)
+    lab[2:] = 3
+    out = LabelToZAffinities(offsets=[1])(lab)
+    assert out.shape == (4, 3, 3, 1)
+    expect = np.zeros((4, 3, 3))
+    expect[1] = 1
+    np.testing.assert_array_equal(out[..., 0], expect)
+
+    rng = np.random.default_rng(0)
+    r = RandomLabelToAffinities(rng, max_offset=3)(lab)
+    assert r.shape == (4, 3, 3, 1)
+    assert set(np.unique(r)) <= {0.0, 1.0}
+
+
+def test_label_to_boundary_and_affinities():
+    from gfe_mamba_tpu.segmentation.transforms import (
+        LabelToBoundaryAndAffinities)
+
+    lab = np.zeros((3, 3, 4), np.int64)
+    lab[:, :, :2] = 1
+    lab[:, :, 2:] = 2
+    t = LabelToBoundaryAndAffinities(xy_offsets=[1], z_offsets=[1])
+    out = t(lab)
+    assert out.shape == (3, 3, 4, 4)  # 1 boundary + 3 affinity channels
+    # boundary channel: voxels adjacent to the 1|2 interface
+    assert out[..., 0].max() == 1.0
+    # affinity channels equal the standalone transform
+    from gfe_mamba_tpu.segmentation.transforms import LabelToAffinities
+    np.testing.assert_array_equal(
+        out[..., 1:], LabelToAffinities(offsets=[1], z_offsets=[1])(lab))
+
+    fg = LabelToBoundaryAndAffinities(
+        xy_offsets=[1], z_offsets=[1], foreground=True)(lab)
+    assert fg.shape == (3, 3, 4, 5)
+    np.testing.assert_array_equal(fg[..., 0], (lab > 0).astype(np.float32))
+
+
+def test_affinity_transforms_in_factory():
+    from gfe_mamba_tpu.segmentation.transforms import build_transforms
+
+    lab = np.ones((2, 2, 4), np.int64)
+    lab[:, :, 2:] = 2
+    pipe = build_transforms([
+        {"name": "LabelToAffinities", "offsets": [1]}])
+    assert pipe(lab).shape == (2, 2, 4, 3)
+    pipe2 = build_transforms([
+        {"name": "RandomLabelToAffinities", "max_offset": 2}])
+    assert pipe2(lab).shape == (2, 2, 4, 1)
+
+
+def test_lazy_predictor_matches_standard(tmp_path):
+    """LazyPredictor (ref predictor.py:191-230): on-disk assembly +
+    chunked normalization must equal the in-memory predictor."""
+    import h5py
+    from gfe_mamba_tpu.segmentation.predictor import (
+        sliding_window_predict, sliding_window_predict_lazy)
+
+    rng = np.random.default_rng(0)
+    vol = rng.normal(size=(13, 11, 9)).astype(np.float32)
+
+    def fwd(batch):
+        return batch * 2.0 + 1.0
+
+    std = sliding_window_predict(fwd, vol, (6, 6, 6), (4, 4, 4))
+    out = str(tmp_path / "lazy.h5")
+    sliding_window_predict_lazy(fwd, vol, (6, 6, 6), (4, 4, 4), out)
+    with h5py.File(out) as f:
+        assert "normalization" not in f
+        lazy = f["predictions"][...]
+    np.testing.assert_allclose(lazy, std, atol=1e-5)
+
+
+def test_dsb_predictor(tmp_path):
+    import h5py
+    from gfe_mamba_tpu.segmentation.predictor import (
+        dsb_predict, pmaps_to_segmentation)
+
+    # two blobs -> two instance labels
+    pm = np.zeros((8, 8), np.float32)
+    pm[1:3, 1:3] = 0.9
+    pm[5:7, 5:7] = 0.8
+    seg = pmaps_to_segmentation(pm)
+    assert set(np.unique(seg)) == {0, 1, 2}
+
+    img = pm[..., None]
+    paths = dsb_predict(lambda b: b, [(img, str(tmp_path / "img1.png"))],
+                        output_dir=str(tmp_path))
+    assert paths == [str(tmp_path / "img1_predictions.h5")]
+    with h5py.File(paths[0]) as f:
+        np.testing.assert_allclose(f["predictions"][...], pm)
+        assert set(np.unique(f["segmentation"][...])) == {0, 1, 2}
