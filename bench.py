@@ -82,6 +82,8 @@ def measure_train(small: bool):
     and Stage-2 classifier step, measured with K steps chained INSIDE
     one executable (two-point slope, so the ~32 ms per-dispatch tunnel
     overhead cancels -- PERF_NOTES methodology)."""
+    import functools
+
     import jax
     import jax.numpy as jnp
 
@@ -98,6 +100,7 @@ def measure_train(small: bool):
         img_sz, f_maps, batch = (160, 160, 96), (64, 128, 256), 1
         vit_kw = {}
 
+    partial_jit_donate0 = functools.partial(jax.jit, donate_argnums=0)
     gen = ResidualMidUNet3DViT(1, 1, is_segmentation=False, f_maps=f_maps,
                                remat=True, **vit_kw)
     disc = PatchDiscriminator(num_layers_d=3, num_channels=32)
@@ -107,7 +110,7 @@ def measure_train(small: bool):
     state1 = trainer.init_state(rng, zeros, zeros)
 
     def stage1_multi(k):
-        @jax.jit
+        @partial_jit_donate0
         def fn(state, key):
             def body(carry, _):
                 st, r = carry
@@ -119,16 +122,23 @@ def measure_train(small: bool):
                 return (st, r), logs["g_loss"]
             (state, _), losses = jax.lax.scan(
                 body, (state, key), None, length=k)
-            return losses[-1]
+            return state, losses[-1]
         return fn
 
     def slope(make, state, k_lo, k_hi, iters=3):
+        """State is DONATED and threaded through every call (the
+        adversarial state [G+D params + Adam moments] doesn't fit HBM
+        twice at canonical size)."""
         ts = {}
         for k in (k_lo, k_hi):
             fn = make(k)
-            float(fn(state, jax.random.key(0)))  # compile
+            state, v = fn(state, jax.random.key(0))   # compile
+            float(v)
             t0 = time.perf_counter()
-            vals = [fn(state, jax.random.key(i + 1)) for i in range(iters)]
+            vals = []
+            for i in range(iters):
+                state, v = fn(state, jax.random.key(i + 1))
+                vals.append(v)
             vals = [float(v) for v in vals]
             ts[k] = (time.perf_counter() - t0) / iters
             assert all(np.isfinite(v) for v in vals)
@@ -161,7 +171,7 @@ def measure_train(small: bool):
     state2 = ct.init_state(jax.random.key(1), mri0, cat0, num0)
 
     def stage2_multi(k):
-        @jax.jit
+        @partial_jit_donate0
         def fn(state, key):
             def body(carry, _):
                 st, r = carry
@@ -174,7 +184,7 @@ def measure_train(small: bool):
                 return (st, r), logs["cla_loss"]
             (state, _), losses = jax.lax.scan(
                 body, (state, key), None, length=k)
-            return losses[-1]
+            return state, losses[-1]
         return fn
 
     s2 = slope(stage2_multi, state2, 1, 4)

@@ -501,11 +501,15 @@ def _fwd_p(xv, w, bias, pre_scale, pre_shift, residual, act, post_act):
 
 
 def _bwd_p(act, post_act, res, g):
-    """Packed backward: epilogue gradients recovered from the saved
-    OUTPUT (post_act' via sign; the pre-residual value via the
-    activation inverse minus the saved residual input), then the same
-    fast core as the unpacked op (dz = packed flip-conv through the
-    fused kernel, dw = 27 huge-K dots)."""
+    """Packed-NATIVE backward: every tensor stays z-pair packed.
+
+    dz rides the same packed fused kernel with flipped/transposed
+    weights; dw comes from 27 (2C, 2F) block dots over packed operands
+    -- the packed-row offset m and the intra-row parities (h1, h2)
+    jointly enumerate the fine-z tap offsets 2m + h1 - h2 in {-1,0,1},
+    so three packed dots per (dx, dy) recover all three z taps from
+    lane-full reads (the unpacked formulation re-materialized every
+    operand with 2x lane padding)."""
     xv, w, bias, pre_scale, pre_shift, residual, out = res
     g = g.astype(xv.dtype)
     pag = _act_grad_from_out(out, post_act)
@@ -516,9 +520,69 @@ def _bwd_p(act, post_act, res, g):
     ag = _act_grad_from_out(out, act) if act != "none" else None
     g1 = g2 if ag is None else g2 * ag.astype(g2.dtype)
 
-    dx, dw, dbias, da, db = _bwd_core(
-        unpack_z(xv), w, bias, pre_scale, pre_shift, unpack_z(g1))
-    return (pack_z(dx), dw, dbias, da, db, dres)
+    B, X, Y, ZH, C2 = xv.shape
+    C = C2 // 2
+    F = w.shape[-1]
+
+    # dz = conv(g1, flip(w)^T), packed end to end
+    wf = w[::-1, ::-1, ::-1].transpose(0, 1, 2, 4, 3)
+    dz = _dispatch_p(g1, wf.astype(g1.dtype), None, None, None, None,
+                     "none", "none")
+
+    # zhat = x*a + b in the packed domain (fuses into the dot pads)
+    z = xv
+    if pre_scale is not None:
+        z = z * jnp.tile(pre_scale, (1, 2)).astype(
+            xv.dtype)[:, None, None, None, :]
+    if pre_shift is not None:
+        z = z + jnp.tile(pre_shift, (1, 2)).astype(
+            xv.dtype)[:, None, None, None, :]
+    # xy halo 1; one zero packed row at the z END (fine z = Z is the
+    # only out-of-range sample the m=+1 blocks touch)
+    zp = jnp.pad(z, ((0, 0), (1, 1), (1, 1), (0, 1), (0, 0)))
+    gz = jnp.pad(g1, ((0, 0), (0, 0), (0, 0), (0, 1), (0, 0)))
+
+    cdims = (((0, 1, 2, 3), (0, 1, 2, 3)), ((), ()))
+
+    def blockdot(a, b):
+        return jax.lax.dot_general(a, b, cdims,
+                                   preferred_element_type=jnp.float32)
+
+    gs1 = jax.lax.slice(gz, (0, 0, 0, 1, 0),
+                        (B, X, Y, ZH + 1, 2 * F))
+    taps = []
+    for i in range(3):
+        for j in range(3):
+            zs0 = jax.lax.slice(zp, (0, i, j, 0, 0),
+                                (B, i + X, j + Y, ZH, C2))
+            zs1 = jax.lax.slice(zp, (0, i, j, 1, 0),
+                                (B, i + X, j + Y, ZH + 1, C2))
+            t0 = blockdot(zs0, g1)           # m=0:  (h1, h2) blocks
+            tp = blockdot(zs1, g1)           # m=+1: block (0, 1)
+            tm = blockdot(zs0, gs1)          # m=-1: block (1, 0)
+            dk_m = t0[:C, F:] + tm[C:, :F]          # fine offset -1
+            dk_0 = t0[:C, :F] + t0[C:, F:]          # fine offset  0
+            dk_p = t0[C:, :F] + tp[:C, F:]          # fine offset +1
+            taps.append(jnp.stack([dk_m, dk_0, dk_p]))
+    dw = jnp.stack(taps).reshape(3, 3, 3, C, F).astype(w.dtype)
+
+    dbias = None
+    if bias is not None:
+        s = jnp.sum(g1.astype(jnp.float32), axis=(0, 1, 2, 3))
+        dbias = (s[:F] + s[F:]).astype(bias.dtype)
+    if pre_scale is not None:
+        e2 = jnp.einsum("bxyzc,bxyzc->bc", dz.astype(jnp.float32),
+                        xv.astype(jnp.float32))
+        da = (e2[:, :C] + e2[:, C:]).astype(pre_scale.dtype)
+        dx = dz * jnp.tile(pre_scale, (1, 2)).astype(
+            dz.dtype)[:, None, None, None, :]
+    else:
+        da, dx = None, dz
+    db = None
+    if pre_shift is not None:
+        s = jnp.sum(dz.astype(jnp.float32), axis=(1, 2, 3))
+        db = (s[:, :C] + s[:, C:]).astype(pre_shift.dtype)
+    return (dx.astype(xv.dtype), dw, dbias, da, db, dres)
 
 
 conv3x3x3_p.defvjp(_fwd_p, _bwd_p)
@@ -579,9 +643,10 @@ def deconv3x3x3_s2_packed(xp: Array, w: Array) -> Array:
 def _pool_pair(x, op, init) -> Array:
     B, X, Y, ZH, C2 = x.shape
     C = C2 // 2
+    # init must be a plain Python scalar: a traced/array init makes
+    # jax.checkpoint's linearization fail ("unknown output primals")
     t = jax.lax.reduce_window(
-        x, jnp.asarray(init, x.dtype), op, (1, 2, 2, 1, 1),
-        (1, 2, 2, 1, 1), "VALID")
+        x, init, op, (1, 2, 2, 1, 1), (1, 2, 2, 1, 1), "VALID")
     # fine-z window 2 stride 2 == the two halves of one packed row
     u = op(t[..., :C], t[..., C:])                  # (B,X/2,Y/2,ZH,C)
     return u.reshape(B, X // 2, Y // 2, ZH // 2, C2)

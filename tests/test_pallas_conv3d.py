@@ -322,3 +322,10 @@ def test_packed_unet_remat_parity():
     p = m.init(jax.random.key(0), x)
     np.testing.assert_allclose(np.asarray(mr.apply(p, x)),
                                np.asarray(m.apply(p, x)), atol=1e-6)
+    # grads under jax.checkpoint (regression: a traced reduce_window
+    # init value broke linearization inside remat)
+    g = jax.grad(lambda p: jnp.sum(m.apply(p, x) ** 2))(p)
+    gr = jax.grad(lambda p: jnp.sum(mr.apply(p, x) ** 2))(p)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5), g, gr)
