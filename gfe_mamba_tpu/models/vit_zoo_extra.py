@@ -156,8 +156,10 @@ class ViViT(nn.Module):
 
 
 class _ConvTokenizer(nn.Module):
-    """CCT tokenizer (cct.py Tokenizer): [conv -> ReLU -> maxpool] x n,
-    channels-last, output flattened to tokens."""
+    """CCT tokenizer (cct.py / cct_3d.py Tokenizer): [conv -> ReLU ->
+    maxpool] x n, channels-last, output flattened to tokens.  For 3D
+    the frame axis gets its own (smaller) kernel/stride/pooling, the
+    reference's anisotropic defaults (cct_3d.py:162-199)."""
 
     n_output_channels: int
     n_conv_layers: int
@@ -167,22 +169,75 @@ class _ConvTokenizer(nn.Module):
     pooling_stride: int
     in_planes: int = 64
     dims: int = 2
+    frame_kernel_size: int = 3
+    frame_stride: int = 1
+    frame_pooling_kernel_size: int = 1
+    frame_pooling_stride: int = 1
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         chans = ([self.in_planes] * (self.n_conv_layers - 1)
                  + [self.n_output_channels])
+        sp = self.kernel_size // 2
+        if self.dims == 3:
+            kernel = (self.frame_kernel_size,) + (self.kernel_size,) * 2
+            strides = (self.frame_stride,) + (self.stride,) * 2
+            cpad = [(self.frame_kernel_size // 2,) * 2, (sp, sp), (sp, sp)]
+            pool = (self.frame_pooling_kernel_size,
+                    self.pooling_kernel_size, self.pooling_kernel_size)
+            pstr = (self.frame_pooling_stride,
+                    self.pooling_stride, self.pooling_stride)
+            ppad = [(self.frame_pooling_kernel_size // 2,) * 2,
+                    (1, 1), (1, 1)]
+        else:
+            kernel = (self.kernel_size,) * 2
+            strides = (self.stride,) * 2
+            cpad = [(sp, sp)] * 2
+            pool = (self.pooling_kernel_size,) * 2
+            pstr = (self.pooling_stride,) * 2
+            ppad = [(1, 1)] * 2
         for i, ch in enumerate(chans):
-            x = nn.Conv(ch, (self.kernel_size,) * self.dims,
-                        strides=(self.stride,) * self.dims,
-                        padding=self.kernel_size // 2, use_bias=False,
-                        name=f"conv_{i}")(x)
+            x = nn.Conv(ch, kernel, strides=strides, padding=cpad,
+                        use_bias=False, name=f"conv_{i}")(x)
             x = jax.nn.relu(x)
-            x = nn.max_pool(
-                x, (self.pooling_kernel_size,) * self.dims,
-                strides=(self.pooling_stride,) * self.dims,
-                padding=((1, 1),) * self.dims)
+            x = nn.max_pool(x, pool, strides=pstr, padding=ppad)
         return x.reshape(x.shape[0], -1, x.shape[-1])
+
+
+def _sinusoidal_embedding(n: int, dim: int) -> np.ndarray:
+    """CCT 'sine' positional table (cct_3d.py:75-80): position p,
+    channel i -> p / 10000^(2*(i//2)/dim), sin on even, cos on odd."""
+    pe = np.array([[p / 10000.0 ** (2 * (i // 2) / dim)
+                    for i in range(dim)] for p in range(n)], np.float32)
+    pe[:, 0::2] = np.sin(pe[:, 0::2])
+    pe[:, 1::2] = np.cos(pe[:, 1::2])
+    return pe[None]
+
+
+class _CCTAttention(nn.Module):
+    """CCT attention (cct_3d.py:84-112): fused qkv Linear (no bias),
+    head dim = dim // heads, output proj with bias."""
+
+    heads: int
+    attention_dropout: float = 0.0
+    proj_dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: Array, *, deterministic: bool = True) -> Array:
+        d = x.shape[-1]
+        qkv = nn.Dense(3 * d, use_bias=False, name="qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q, k, v = (rearrange(t, "b n (h hd) -> b h n hd", h=self.heads)
+                   for t in (q, k, v))
+        q = q * (d // self.heads) ** -0.5
+        attn = jax.nn.softmax(jnp.einsum("bhid,bhjd->bhij", q, k), axis=-1)
+        attn = nn.Dropout(self.attention_dropout)(
+            attn, deterministic=deterministic)
+        out = rearrange(jnp.einsum("bhij,bhjd->bhid", attn, v),
+                        "b h n hd -> b n (h hd)")
+        out = nn.Dense(d, name="proj")(out)
+        return nn.Dropout(self.proj_dropout)(out,
+                                             deterministic=deterministic)
 
 
 class CCT(nn.Module):
@@ -203,45 +258,78 @@ class CCT(nn.Module):
     mlp_ratio: float = 2.0
     stochastic_depth: float = 0.1
     dropout: float = 0.0
+    attention_dropout: float = 0.1
+    positional_embedding: str = "learnable"   # 'sine' | 'learnable' | 'none'
+    seq_pool: bool = True
     dims: int = 2
+    frame_kernel_size: int = 3
+    frame_stride: int = 1
+    frame_pooling_kernel_size: int = 1
+    frame_pooling_stride: int = 1
 
     @nn.compact
     def __call__(self, img: Array, *, deterministic: bool = True) -> Array:
         x = _ConvTokenizer(
             self.embedding_dim, self.n_conv_layers, self.kernel_size,
             self.stride, self.pooling_kernel_size, self.pooling_stride,
-            dims=self.dims, name="tokenizer")(img)
+            dims=self.dims, frame_kernel_size=self.frame_kernel_size,
+            frame_stride=self.frame_stride,
+            frame_pooling_kernel_size=self.frame_pooling_kernel_size,
+            frame_pooling_stride=self.frame_pooling_stride,
+            name="tokenizer")(img)
         n = x.shape[1]
-        pos = self.param("pos_embedding",
-                         nn.initializers.truncated_normal(0.2),
-                         (1, n, self.embedding_dim))
-        x = x + pos
+        if not self.seq_pool:
+            # class-token mode (cct_3d.py:248-250)
+            cls = self.param("class_emb", nn.initializers.zeros,
+                             (1, 1, self.embedding_dim))
+            x = jnp.concatenate(
+                [jnp.broadcast_to(cls, (x.shape[0], 1, self.embedding_dim)),
+                 x], axis=1)
+            n += 1
+        if self.positional_embedding == "learnable":
+            pos = self.param("pos_embedding",
+                             nn.initializers.truncated_normal(0.2),
+                             (1, n, self.embedding_dim))
+            x = x + pos
+        elif self.positional_embedding == "sine":
+            x = x + jnp.asarray(
+                _sinusoidal_embedding(n, self.embedding_dim))
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
-        dim_head = self.embedding_dim // self.num_heads
         dpr = np.linspace(0, self.stochastic_depth, self.num_layers)
         for i in range(self.num_layers):
-            h = nn.LayerNorm(name=f"norm1_{i}")(x)
-            h = nn.MultiHeadDotProductAttention(
-                num_heads=self.num_heads, qkv_features=self.embedding_dim,
-                dropout_rate=self.dropout, deterministic=deterministic,
-                name=f"attn_{i}")(h, h)
+            # TransformerEncoderLayer (cct_3d.py:114-142): NOTE the
+            # reference re-assigns src = norm1(src) BETWEEN the
+            # attention residual and the feed-forward residual, so the
+            # FF residual rides the normed tensor -- not standard
+            # pre-norm; reproduced exactly.
+            h = nn.LayerNorm(name=f"pre_norm_{i}")(x)
+            h = _CCTAttention(self.num_heads, self.attention_dropout,
+                              self.dropout, name=f"attn_{i}")(
+                h, deterministic=deterministic)
             x = x + _drop_path(h, dpr[i], deterministic, self, f"dp1_{i}")
-            h = nn.LayerNorm(name=f"norm2_{i}")(x)
+            x = nn.LayerNorm(name=f"norm1_{i}")(x)
             h = nn.Dense(int(self.embedding_dim * self.mlp_ratio),
-                         name=f"fc1_{i}")(h)
-            h = jax.nn.gelu(h)
+                         name=f"fc1_{i}")(x)
+            h = nn.Dropout(self.dropout)(jax.nn.gelu(h),
+                                         deterministic=deterministic)
             h = nn.Dense(self.embedding_dim, name=f"fc2_{i}")(h)
+            h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
             x = x + _drop_path(h, dpr[i], deterministic, self, f"dp2_{i}")
         x = nn.LayerNorm(name="final_norm")(x)
-        # attention sequence pooling (cct_3d.py:300-307)
-        attn = nn.Dense(1, name="attention_pool")(x)          # (B, N, 1)
-        attn = jax.nn.softmax(attn, axis=1)
-        x = jnp.einsum("bnl,bnd->bd", attn, x)
+        if self.seq_pool:
+            # attention sequence pooling (cct_3d.py:305-310)
+            attn = nn.Dense(1, name="attention_pool")(x)      # (B, N, 1)
+            attn = jax.nn.softmax(attn, axis=1)
+            x = jnp.einsum("bnl,bnd->bd", attn, x)
+        else:
+            x = x[:, 0]
         return nn.Dense(self.num_classes, name="fc")(x)
 
 
 def CCT3D(**kwargs) -> CCT:
-    """cct_3d.py: the same architecture with a 3D conv tokenizer."""
+    """cct_3d.py: the same architecture with the anisotropic 3D conv
+    tokenizer (frame axis kernel 3 / stride 1 / no frame pooling by
+    default, cct_3d.py:336-357)."""
     return CCT(dims=3, **kwargs)
 
 

@@ -411,3 +411,242 @@ def import_jamba_hf(state_dict: Mapping[str, np.ndarray],
         sd[key] = value
         mapping[key] = (["jamba", layer, "moe", name], None)
     return _import_with_mapping(sd, params_like, mapping)
+
+
+# ---------------------------------------------------------------------------
+# Vendored ViT zoo, 3D-capable members (vit_pytorch_diy/{vit_3d,
+# simple_vit_3d, vivit, cct_3d}.py) -> gfe_mamba_tpu.models.vit_zoo[_extra]
+
+def _vit_transformer_mapping(state_dict: Mapping[str, np.ndarray],
+                             torch_prefix: str, flax_prefix: list) -> dict:
+    """Vendored vit-style Transformer (vit_3d.py:63-76: layers.i.0 =
+    Attention with in-block norm, layers.i.1 = FeedForward with leading
+    LayerNorm) -> ViTTransformer attn_i/ff_i."""
+    mapping: dict = {}
+    for key in state_dict:
+        m = re.match(rf"{re.escape(torch_prefix)}\.layers\."
+                     r"(\d+)\.([01])\.(.*)", key)
+        if not m:
+            continue
+        i, which, rest = int(m.group(1)), m.group(2), m.group(3)
+        if which == "0":
+            base = flax_prefix + [f"attn_{i}"]
+            table = {
+                "norm.weight": (base + ["norm", "scale"], None),
+                "norm.bias": (base + ["norm", "bias"], None),
+                "to_qkv.weight": (base + ["to_qkv", "kernel"], _linear),
+                "to_out.0.weight": (base + ["to_out", "kernel"], _linear),
+                "to_out.0.bias": (base + ["to_out", "bias"], None),
+                # simple_vit flavor: bias-less plain Linear to_out
+                # (simple_vit_3d.py:61); the flax Dense bias zero-fills
+                "to_out.weight": (base + ["to_out", "kernel"], _linear),
+            }
+        else:
+            base = flax_prefix + [f"ff_{i}"]
+            table = {
+                "net.0.weight": (base + ["LayerNorm_0", "scale"], None),
+                "net.0.bias": (base + ["LayerNorm_0", "bias"], None),
+                "net.1.weight": (base + ["Dense_0", "kernel"], _linear),
+                "net.1.bias": (base + ["Dense_0", "bias"], None),
+                "net.4.weight": (base + ["Dense_1", "kernel"], _linear),
+                "net.4.bias": (base + ["Dense_1", "bias"], None),
+                # simple_vit flavor: no dropouts, second Linear is net.3
+                "net.3.weight": (base + ["Dense_1", "kernel"], _linear),
+                "net.3.bias": (base + ["Dense_1", "bias"], None),
+            }
+        if rest in table:
+            mapping[key] = table[rest]
+    norm_key = f"{torch_prefix}.norm.weight"
+    if norm_key in state_dict:
+        mapping[norm_key] = (flax_prefix + ["norm", "scale"], None)
+        mapping[f"{torch_prefix}.norm.bias"] = (
+            flax_prefix + ["norm", "bias"], None)
+    return mapping
+
+
+def build_vit3d_mapping(state_dict: Mapping[str, np.ndarray],
+                        grid: tuple) -> dict:
+    """vit_3d.py ViT -> models.vit_zoo.ViT3D.
+
+    The reference orders the patch grid (f h w) (vit_3d.py:93); ViT3D
+    (channels-last (B, H, W, D, C)) orders it (h w f), so the learned
+    pos_embedding rows are permuted here.  Its Transformer has no final
+    norm and the head is LayerNorm+Linear (vit_3d.py:107-110); with cls
+    pooling that LayerNorm commutes with token selection, so it lands on
+    ViTTransformer's final ``norm``.  grid: (f, h, w) patch counts.
+    """
+    f, h, w = grid
+
+    def _pos(p):
+        cls, rest = p[:, :1], p[:, 1:]
+        rest = rest.reshape(1, f, h, w, -1).transpose(0, 2, 3, 1, 4)
+        return np.concatenate([cls, rest.reshape(1, f * h * w, -1)], axis=1)
+
+    mapping = {
+        "cls_token": (["cls_token"], None),
+        "pos_embedding": (["pos_embedding"], _pos),
+        "to_patch_embedding.1.weight": (["LayerNorm_0", "scale"], None),
+        "to_patch_embedding.1.bias": (["LayerNorm_0", "bias"], None),
+        "to_patch_embedding.2.weight": (["Dense_0", "kernel"], _linear),
+        "to_patch_embedding.2.bias": (["Dense_0", "bias"], None),
+        "to_patch_embedding.3.weight": (["LayerNorm_1", "scale"], None),
+        "to_patch_embedding.3.bias": (["LayerNorm_1", "bias"], None),
+        "mlp_head.0.weight": (["transformer", "norm", "scale"], None),
+        "mlp_head.0.bias": (["transformer", "norm", "bias"], None),
+        "mlp_head.1.weight": (["mlp_head", "kernel"], _linear),
+        "mlp_head.1.bias": (["mlp_head", "bias"], None),
+    }
+    mapping.update(_vit_transformer_mapping(state_dict, "transformer",
+                                            ["transformer"]))
+    return mapping
+
+
+def import_vit3d(state_dict, params_like, grid):
+    return _import_with_mapping(state_dict, params_like,
+                                build_vit3d_mapping(state_dict, grid))
+
+
+def build_simple_vit3d_mapping(state_dict: Mapping[str, np.ndarray],
+                               patch: tuple) -> dict:
+    """simple_vit_3d.py SimpleViT -> models.vit_zoo_extra.SimpleViT3D.
+
+    The reference lays each patch out (p1 p2 pf c) (simple_vit_3d.py:106)
+    while SimpleViT3D packs (pf p1 p2 c), so every weight reading the
+    patch axis is row-permuted.  patch: (p1, p2, pf, c) sizes.
+    """
+    p1, p2, pf, c = patch
+
+    def _perm_vec(v):
+        return v.reshape(p1, p2, pf, c).transpose(2, 0, 1, 3).reshape(-1)
+
+    def _perm_linear(wt):  # torch (out, in) -> flax (in_permuted, out)
+        out = wt.shape[0]
+        wt = wt.reshape(out, p1, p2, pf, c).transpose(0, 3, 1, 2, 4)
+        return np.transpose(wt.reshape(out, -1))
+
+    mapping = {
+        "to_patch_embedding.1.weight": (["patch_norm1", "scale"], _perm_vec),
+        "to_patch_embedding.1.bias": (["patch_norm1", "bias"], _perm_vec),
+        "to_patch_embedding.2.weight": (["patch_embed", "kernel"],
+                                        _perm_linear),
+        "to_patch_embedding.2.bias": (["patch_embed", "bias"], None),
+        "to_patch_embedding.3.weight": (["patch_norm2", "scale"], None),
+        "to_patch_embedding.3.bias": (["patch_norm2", "bias"], None),
+        "linear_head.weight": (["linear_head", "kernel"], _linear),
+        "linear_head.bias": (["linear_head", "bias"], None),
+    }
+    mapping.update(_vit_transformer_mapping(state_dict, "transformer",
+                                            ["transformer"]))
+    return mapping
+
+
+def import_simple_vit3d(state_dict, params_like, patch):
+    sd = dict(state_dict)
+    mapping = build_simple_vit3d_mapping(sd, patch)
+    # the reference's to_out Linears carry no bias; zero-fill ours
+    for key in list(sd):
+        m = re.match(r"transformer\.layers\.(\d+)\.0\.to_out\.weight", key)
+        if m:
+            zkey = f"__zeros__.to_out_bias.{m.group(1)}"
+            sd[zkey] = np.zeros(sd[key].shape[0], np.float32)
+            mapping[zkey] = (
+                ["transformer", f"attn_{m.group(1)}", "to_out", "bias"],
+                None)
+    return _import_with_mapping(sd, params_like, mapping)
+
+
+def build_vivit_mapping(state_dict: Mapping[str, np.ndarray]) -> dict:
+    """vivit.py ViT (factorized spatial+temporal) ->
+    models.vit_zoo_extra.ViViT.  Patch layout (p1 p2 pf c) and the
+    (1, f, n, dim) pos table match 1:1 (vivit.py:110-119)."""
+    mapping = {
+        "pos_embedding": (["pos_embedding"], None),
+        "to_patch_embedding.1.weight": (["patch_norm1", "scale"], None),
+        "to_patch_embedding.1.bias": (["patch_norm1", "bias"], None),
+        "to_patch_embedding.2.weight": (["patch_embed", "kernel"], _linear),
+        "to_patch_embedding.2.bias": (["patch_embed", "bias"], None),
+        "to_patch_embedding.3.weight": (["patch_norm2", "scale"], None),
+        "to_patch_embedding.3.bias": (["patch_norm2", "bias"], None),
+        "mlp_head.weight": (["mlp_head", "kernel"], _linear),
+        "mlp_head.bias": (["mlp_head", "bias"], None),
+    }
+    for tok in ("spatial_cls_token", "temporal_cls_token"):
+        if tok in state_dict:
+            mapping[tok] = ([tok], None)
+    for t in ("spatial_transformer", "temporal_transformer"):
+        mapping.update(_vit_transformer_mapping(state_dict, t, [t]))
+    return mapping
+
+
+def import_vivit(state_dict, params_like):
+    return _import_with_mapping(state_dict, params_like,
+                                build_vivit_mapping(state_dict))
+
+
+def build_cct_mapping(state_dict: Mapping[str, np.ndarray],
+                      dims: int = 3) -> dict:
+    """cct_3d.py / cct.py CCT -> models.vit_zoo_extra.CCT.
+
+    Tokenizer convs are channels-first (O, I, *k) -> HWIO;
+    TransformerEncoderLayer pre_norm/self_attn/norm1/linear1/linear2
+    (cct_3d.py:114-142) -> pre_norm_i/attn_i/norm1_i/fc1_i/fc2_i; the
+    'sine' positional buffer is recomputed, not imported."""
+    conv = _conv if dims == 3 else (
+        lambda w: np.transpose(w, (2, 3, 1, 0)))
+    mapping: dict = {}
+    for key in state_dict:
+        m = re.match(r"tokenizer\.conv_layers\.(\d+)\.0\.weight", key)
+        if m:
+            mapping[key] = (
+                ["tokenizer", f"conv_{m.group(1)}", "kernel"], conv)
+        m = re.match(r"classifier\.blocks\.(\d+)\.(.*)", key)
+        if not m:
+            continue
+        i, rest = int(m.group(1)), m.group(2)
+        table = {
+            "pre_norm.weight": ([f"pre_norm_{i}", "scale"], None),
+            "pre_norm.bias": ([f"pre_norm_{i}", "bias"], None),
+            "self_attn.qkv.weight": ([f"attn_{i}", "qkv", "kernel"],
+                                     _linear),
+            "self_attn.proj.weight": ([f"attn_{i}", "proj", "kernel"],
+                                      _linear),
+            "self_attn.proj.bias": ([f"attn_{i}", "proj", "bias"], None),
+            "norm1.weight": ([f"norm1_{i}", "scale"], None),
+            "norm1.bias": ([f"norm1_{i}", "bias"], None),
+            "linear1.weight": ([f"fc1_{i}", "kernel"], _linear),
+            "linear1.bias": ([f"fc1_{i}", "bias"], None),
+            "linear2.weight": ([f"fc2_{i}", "kernel"], _linear),
+            "linear2.bias": ([f"fc2_{i}", "bias"], None),
+        }
+        if rest in table:
+            mapping[key] = table[rest]
+    tail = {
+        "classifier.attention_pool.weight": (["attention_pool", "kernel"],
+                                             _linear),
+        "classifier.attention_pool.bias": (["attention_pool", "bias"], None),
+        "classifier.class_emb": (["class_emb"], None),
+        "classifier.positional_emb": (["pos_embedding"], None),
+        "classifier.norm.weight": (["final_norm", "scale"], None),
+        "classifier.norm.bias": (["final_norm", "bias"], None),
+        "classifier.fc.weight": (["fc", "kernel"], _linear),
+        "classifier.fc.bias": (["fc", "bias"], None),
+    }
+    mapping.update({k: v for k, v in tail.items() if k in state_dict})
+    # a 'sine' positional_emb is a registered buffer, recomputed in flax
+    if "classifier.positional_emb" in mapping and \
+            "classifier.attention_pool.weight" in state_dict:
+        pe = state_dict["classifier.positional_emb"]
+        npos = pe.shape[1]
+        sine = np.array(
+            [[p / 10000.0 ** (2 * (i // 2) / pe.shape[2])
+              for i in range(pe.shape[2])] for p in range(npos)], np.float32)
+        sine[:, 0::2] = np.sin(sine[:, 0::2])
+        sine[:, 1::2] = np.cos(sine[:, 1::2])
+        if np.allclose(pe, sine[None], atol=1e-5):
+            del mapping["classifier.positional_emb"]
+    return mapping
+
+
+def import_cct(state_dict, params_like, dims: int = 3):
+    return _import_with_mapping(state_dict, params_like,
+                                build_cct_mapping(state_dict, dims))

@@ -17,8 +17,13 @@ from gfe_mamba_tpu.utils.torch_import import import_generator
 
 def _load_reference_generator():
     torch = pytest.importorskip("torch")
+    import importlib.machinery
     for mod in ("torchvision", "torchvision.transforms"):
-        sys.modules.setdefault(mod, types.ModuleType(mod))
+        if mod not in sys.modules:
+            stub = types.ModuleType(mod)
+            # real __spec__: transformers probes via find_spec later
+            stub.__spec__ = importlib.machinery.ModuleSpec(mod, None)
+            sys.modules[mod] = stub
     sys.modules["torchvision"].transforms = sys.modules[
         "torchvision.transforms"]
     sys.path.insert(0, "/root/reference")
