@@ -74,23 +74,30 @@ def make_cohort(seed: int, n_train: int = 128, n_test: int = 192):
     rng.shuffle(labels)
     x, y, z = np.meshgrid(*[np.arange(s) for s in SHAPE], indexing="ij")
     # --hard: the tabular columns carry NO signal (cat0 pure coin flip,
-    # num0 pure noise) and the image contrast sits near the noise floor
-    # -- the classifier must extract everything through the generator's
-    # imaging features, and converged quality lands below the ceiling
+    # num0 pure noise), the image contrast sits near the noise floor,
+    # AND 15% of subjects express the OPPOSITE imaging phenotype
+    # (irreducible label noise).  The last knob pins the Bayes accuracy
+    # at ~0.85 regardless of model power, so converged quality lands in
+    # the mid-0.8s -- the sub-ceiling operating point where a real
+    # quality difference between the frameworks is actually resolvable
+    # (round-2 --hard still saturated at F1~0.99).
     img_gap = 0.10 if HARD else 0.40     # bright-blob contrast
     vent_gap = 0.5 if HARD else 2.0      # ventricle radius delta
     noise = 0.35 if HARD else 0.16
     flip_p = 0.5 if HARD else 0.2
     num_scale = 0.0 if HARD else 1.0
+    express_p = 0.15 if HARD else 0.0    # P(opposite imaging phenotype)
 
     def blob(cx, cy, cz, r):
         return np.exp(-(((x - cx) ** 2 + (y - cy) ** 2
                          + (z - cz) ** 2) / (2 * r ** 2)))
 
+    express_flip = rng.random(n) < express_p
     mris, pets = [], []
-    for lab in labels:
-        bright = (0.95 - img_gap) if lab else 0.95   # "atrophy" signal
-        vent = (2.5 + vent_gap) if lab else 2.5      # ventricle radius
+    for lab, eflip in zip(labels, express_flip):
+        phen = (1 - lab) if eflip else lab           # expressed phenotype
+        bright = (0.95 - img_gap) if phen else 0.95  # "atrophy" signal
+        vent = (2.5 + vent_gap) if phen else 2.5     # ventricle radius
         vol = (0.30 * blob(10, 16, 8, 6)
                + bright * blob(22, 16, 8, 5)
                - 0.8 * blob(16, 10, 8, vent)
@@ -151,6 +158,189 @@ def _epoch_batches(rng: np.random.Generator, n: int, batch: int):
 
 
 # ---------------------------------------------------------------------------
+# torch twins for the GAN game (--gan): a 3D PatchGAN discriminator
+# structurally identical to gfe_mamba_tpu.models.discriminator (which
+# mirrors the MONAI PatchDiscriminator config of main_gan_vit.py:33-40)
+# and a perceptual loss computing the SAME function as
+# gfe_mamba_tpu.losses.perceptual.PerceptualLoss -- its SqueezeNet
+# feature net carries the IDENTICAL fixed-seed weights (imported from
+# the jax module), so the perceptual term itself is compared, not two
+# different random feature nets.
+
+GAN = False
+WARM_EPOCHS = 5          # adversarial term enters at epoch > WARM_EPOCHS
+ADV_WEIGHT = 0.01        # main_gan_vit.py:43
+PERC_WEIGHT = 0.001      # main_gan_vit.py:44
+
+
+def _build_torch_patchgan(torch, num_layers_d=3, num_channels=32):
+    """models/discriminator.py twin: k4 convs, InstanceNorm(affine),
+    LeakyReLU(0.2), per-dim widened padding for toy volumes."""
+    nn = torch.nn
+    F = torch.nn.functional
+
+    def pads_for(shape, kernel=4):
+        out = []
+        for n in shape:
+            lo = 1
+            hi = max(1, kernel - n - lo)
+            out.append((lo, hi))
+        return out
+
+    class PadConv(nn.Module):
+        def __init__(self, cin, cout, stride, bias=True):
+            super().__init__()
+            self.conv = nn.Conv3d(cin, cout, 4, stride, padding=0,
+                                  bias=bias)
+
+        def forward(self, x):
+            pads = pads_for(x.shape[2:])
+            flat = []
+            for lo, hi in reversed(pads):     # F.pad is last-dim-first
+                flat += [lo, hi]
+            return self.conv(F.pad(x, flat))
+
+    class TorchPatchGAN(nn.Module):
+        def __init__(self):
+            super().__init__()
+            layers = [PadConv(1, num_channels, 2)]
+            ch = num_channels
+            self.norms = nn.ModuleList()
+            for _ in range(1, num_layers_d):
+                layers.append(PadConv(ch, ch * 2, 2, bias=False))
+                self.norms.append(nn.InstanceNorm3d(ch * 2, affine=True,
+                                                    eps=1e-6))
+                ch *= 2
+            layers.append(PadConv(ch, ch * 2, 1, bias=False))
+            self.norms.append(nn.InstanceNorm3d(ch * 2, affine=True,
+                                                eps=1e-6))
+            layers.append(PadConv(ch * 2, 1, 1))
+            self.layers = nn.ModuleList(layers)
+
+        def forward(self, x):
+            feats = []
+            x = F.leaky_relu(self.layers[0](x), 0.2)
+            feats.append(x)
+            for i, conv in enumerate(self.layers[1:-1]):
+                x = F.leaky_relu(self.norms[i](conv(x)), 0.2)
+                feats.append(x)
+            feats.append(self.layers[-1](x))
+            return feats
+
+    return TorchPatchGAN()
+
+
+def _build_torch_perceptual(torch, fake_3d_ratio=0.25, seed=0):
+    """losses/perceptual.py twin with the SAME fixed-seed weights.
+
+    Builds the jax SqueezeFeatures params for ``seed``, converts each
+    conv kernel (kh, kw, in, out) -> (out, in, kh, kw), and evaluates
+    the identical slice/resize/normalize/compare pipeline in torch
+    (gradients flow to the generator through it)."""
+    import jax
+    from gfe_mamba_tpu.losses.perceptual import PerceptualLoss as JaxPL
+
+    jpl = JaxPL(fake_3d_ratio=fake_3d_ratio, seed=seed)
+    jp = jax.tree_util.tree_map(np.asarray, jpl.params)["params"]
+    nn, F = torch.nn, torch.nn.functional
+
+    def conv_from(tree, cout_pad=None):
+        k = np.transpose(tree["kernel"], (3, 2, 0, 1))
+        conv = nn.Conv2d(k.shape[1], k.shape[0], k.shape[2:],
+                         padding=cout_pad or 0)
+        conv.weight.data = torch.from_numpy(np.ascontiguousarray(k))
+        conv.bias.data = torch.from_numpy(np.ascontiguousarray(
+            tree["bias"]))
+        return conv
+
+    class Fire(nn.Module):
+        def __init__(self, tree):
+            super().__init__()
+            self.squeeze = conv_from(tree["squeeze"])
+            self.e1 = conv_from(tree["expand1x1"])
+            self.e3 = conv_from(tree["expand3x3"], cout_pad=1)
+
+        def forward(self, x):
+            s = F.relu(self.squeeze(x))
+            return torch.cat([F.relu(self.e1(s)), F.relu(self.e3(s))], 1)
+
+    class Feats(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = nn.Conv2d(3, 64, 3, stride=2)   # VALID
+            k = np.transpose(jp["conv1"]["kernel"], (3, 2, 0, 1))
+            self.conv1.weight.data = torch.from_numpy(
+                np.ascontiguousarray(k))
+            self.conv1.bias.data = torch.from_numpy(
+                np.ascontiguousarray(jp["conv1"]["bias"]))
+            self.fires = nn.ModuleList(
+                [Fire(jp[f"fire{i}"]) for i in range(1, 9)])
+
+        def forward(self, x):
+            taps = []
+            x = F.relu(self.conv1(x))
+            taps.append(x)
+            x = F.max_pool2d(x, 3, 2)
+            x = self.fires[1 - 1](x)
+            x = self.fires[2 - 1](x)
+            taps.append(x)
+            x = F.max_pool2d(x, 3, 2)
+            x = self.fires[3 - 1](x)
+            x = self.fires[4 - 1](x)
+            taps.append(x)
+            x = F.max_pool2d(x, 3, 2)
+            x = self.fires[5 - 1](x)
+            x = self.fires[6 - 1](x)
+            taps.append(x)
+            x = self.fires[7 - 1](x)
+            x = self.fires[8 - 1](x)
+            taps.append(x)
+            return taps
+
+    net = Feats()
+    for p in net.parameters():
+        p.requires_grad_(False)
+
+    def normalize(f):
+        return f / (torch.sqrt((f ** 2).sum(1, keepdim=True)) + 1e-10)
+
+    def lpips_2d(pred, tgt):
+        h, w = pred.shape[2:]
+        if min(h, w) < 32:
+            scale = 32 / min(h, w)
+            size = (max(32, int(h * scale)), max(32, int(w * scale)))
+            pred = F.interpolate(pred, size=size, mode="bilinear",
+                                 align_corners=False)
+            tgt = F.interpolate(tgt, size=size, mode="bilinear",
+                                align_corners=False)
+        total = 0.0
+        for a, b in zip(net(pred.expand(-1, 3, -1, -1)),
+                        net(tgt.expand(-1, 3, -1, -1))):
+            total = total + ((normalize(a) - normalize(b)) ** 2).sum(
+                1).mean()
+        return total
+
+    def slices(vol, axis):
+        # vol: (B, 1, X, Y, Z); evenly strided 2D slices along axis
+        sp = axis + 2
+        n = vol.shape[sp]
+        take = max(1, int(n * fake_3d_ratio))
+        idx = torch.from_numpy(
+            np.linspace(0, n - 1, take).astype(np.int64))
+        sl = torch.index_select(vol, sp, idx)
+        sl = torch.movedim(sl, sp, 1).flatten(0, 1)   # (B*take, 1, h, w)
+        return sl
+
+    def loss(pred, tgt):
+        total = 0.0
+        for axis in range(3):
+            total = total + lpips_2d(slices(pred, axis), slices(tgt, axis))
+        return total / 3.0
+
+    return loss
+
+
+# ---------------------------------------------------------------------------
 # torch reference side
 
 def run_torch(cohort, seed: int, epochs1: int, epochs2: int,
@@ -184,25 +374,54 @@ def run_torch(cohort, seed: int, epochs1: int, epochs2: int,
     def to_t(a):
         return torch.from_numpy(np.ascontiguousarray(a))
 
-    # ---- Stage 1: L1-only generator training (main_gan_vit.py:70-82,
-    # adversarial+perceptual gated off on both sides) ----
+    # ---- Stage 1 (main_gan_vit.py:58-103).  Default: L1 only on both
+    # sides.  --gan: the full game -- L1 + perceptual (identical
+    # fixed-seed feature net on both sides) + warm-up-gated LSGAN term
+    # with a PatchGAN twin of models/discriminator.py ----
     opt_g = torch.optim.Adam(gen.parameters(), lr=1e-4)
+    disc = opt_d = p_loss_fn = None
+    if GAN:
+        disc = _build_torch_patchgan(torch)
+        opt_d = torch.optim.Adam(disc.parameters(), lr=5e-4)
+        p_loss_fn = _build_torch_perceptual(torch)
+        disc.train()
+    mse = torch.nn.functional.mse_loss
     gen.train()
     for epoch in range(epochs1):
+        adv_on = GAN and (epoch + 1 > WARM_EPOCHS)
         losses = []
         for idx in _epoch_batches(rng, len(tr["mri"]), batch):
             mri = to_t(tr["mri"][idx])[:, None]
             pet = to_t(tr["pet"][idx])[:, None]
             recon = gen(mri)
             loss = torch.nn.functional.l1_loss(recon, pet)
+            if GAN:
+                loss = loss + PERC_WEIGHT * p_loss_fn(recon, pet)
+            if adv_on:
+                logits_fake = disc(recon)[-1]
+                # generator trained towards "real" (main_gan_vit.py:76)
+                loss = loss + ADV_WEIGHT * mse(
+                    logits_fake, torch.ones_like(logits_fake))
             opt_g.zero_grad()
             loss.backward()
             torch.nn.utils.clip_grad_norm_(gen.parameters(), 1.0)
             opt_g.step()
+            if adv_on:
+                # second no-grad generator forward (main_gan_vit.py:87)
+                with torch.no_grad():
+                    recon_d = gen(mri)
+                logits_fake = disc(recon_d.detach())[-1]
+                logits_real = disc(pet)[-1]
+                loss_d = ADV_WEIGHT * 0.5 * (
+                    mse(logits_fake, torch.zeros_like(logits_fake))
+                    + mse(logits_real, torch.ones_like(logits_real)))
+                opt_d.zero_grad()
+                loss_d.backward()
+                opt_d.step()
             losses.append(float(loss.detach()))
         if verbose:
             print(f"[torch] stage1 epoch {epoch + 1}: "
-                  f"l1={np.mean(losses):.4f}", flush=True)
+                  f"g={np.mean(losses):.4f} adv_on={adv_on}", flush=True)
     gen.eval()
 
     # ---- Stage 2 (classify_mamba.py:36-117) ----
@@ -280,28 +499,44 @@ def run_jax(cohort, seed: int, epochs1: int, epochs2: int,
     def vol(a):
         return jnp.asarray(a[..., None])         # channels-last
 
-    # ---- Stage 1: L1 only (adv gate 0, perceptual weight 0) ----
+    # ---- Stage 1.  Default: L1 only (adv gate 0, perceptual weight 0).
+    # --gan: LSGAN + perceptual with the same weights/warm-up as the
+    # torch side (the fixed-seed perceptual feature net is numerically
+    # IDENTICAL on both sides; during warm-up the D optimizer sees
+    # zeroed grads, a no-op update vs torch's skipped step) ----
     generator = ResidualMidUNet3DViT(1, 1, is_segmentation=False,
                                      **gen_kwargs)
-    disc = PatchDiscriminator(num_layers_d=2, num_channels=4)
-    trainer1 = GanTrainer(generator, disc, PerceptualLoss(fake_3d_ratio=0.5),
-                          lr_g=1e-4, perceptual_weight=0.0,
-                          mixed_precision="none")
+    if GAN:
+        disc = PatchDiscriminator(num_layers_d=3, num_channels=32)
+        trainer1 = GanTrainer(generator, disc,
+                              PerceptualLoss(fake_3d_ratio=0.25, seed=0),
+                              lr_g=1e-4, lr_d=5e-4,
+                              adv_weight=ADV_WEIGHT,
+                              perceptual_weight=PERC_WEIGHT,
+                              mixed_precision="none")
+    else:
+        disc = PatchDiscriminator(num_layers_d=2, num_channels=4)
+        trainer1 = GanTrainer(generator, disc,
+                              PerceptualLoss(fake_3d_ratio=0.5),
+                              lr_g=1e-4, perceptual_weight=0.0,
+                              mixed_precision="none")
     key = jax.random.key(seed)
     sample = vol(tr["mri"][:batch])
     state1 = trainer1.init_state(key, sample, sample)
-    adv_off = jnp.float32(0.0)
     for epoch in range(epochs1):
+        adv_on = jnp.float32(1.0 if GAN and (epoch + 1 > WARM_EPOCHS)
+                             else 0.0)
         losses = []
         for idx in _epoch_batches(rng_np, len(tr["mri"]), batch):
             key, sub = jax.random.split(key)
             state1, logs = trainer1.train_step(
                 state1, vol(tr["mri"][idx]), vol(tr["pet"][idx]),
-                adv_off, sub)
+                adv_on, sub)
             losses.append(float(logs["l1"]))
         if verbose:
             print(f"[jax] stage1 epoch {epoch + 1}: "
-                  f"l1={np.mean(losses):.4f}", flush=True)
+                  f"l1={np.mean(losses):.4f} adv_on={float(adv_on)}",
+                  flush=True)
 
     # ---- Stage 2: frozen generator via optimizer mask ----
     model = build_gfe_mamba(categories=cohort["categories"],
@@ -351,11 +586,21 @@ def main():
     parser.add_argument("--hard", action="store_true",
                         help="harder cohort (weaker signals, more noise)"
                              " so neither side saturates F1=1.0")
+    parser.add_argument("--gan", action="store_true",
+                        help="train stage-1 with the FULL game on both "
+                             "sides: LSGAN + warm-up + identical-weights "
+                             "perceptual term (main_gan_vit.py:33-50)")
+    parser.add_argument("--n-test", type=int, default=192)
+    parser.add_argument("--platform", default="cpu", choices=["cpu", "tpu"],
+                        help="device for the JAX side (the torch side is "
+                             "always host CPU); tpu makes multi-seed runs "
+                             "tractable at ~35 ms/dispatch")
     parser.add_argument("--verbose", action="store_true")
     args = parser.parse_args()
 
     import jax
-    jax.config.update("jax_platforms", "cpu")
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir",
                       os.path.expanduser("~/.jax_cache"))
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
@@ -365,15 +610,22 @@ def main():
 
     if args.smoke:
         args.seeds, args.epochs1, args.epochs2 = [0], 1, 1
+        if args.gan:
+            # exercise the adversarial branch in the single smoke epoch
+            global WARM_EPOCHS
+            WARM_EPOCHS = 0
     if args.hard:
         global HARD
         HARD = True
+    if args.gan:
+        global GAN
+        GAN = True
 
     runs = []
     for seed in args.seeds:
         cohort = make_cohort(seed,
                              n_train=32 if args.smoke else 128,
-                             n_test=16 if args.smoke else 192)
+                             n_test=16 if args.smoke else args.n_test)
         t0 = time.time()
         m_torch = run_torch(cohort, seed, args.epochs1, args.epochs2,
                             verbose=args.verbose)
@@ -395,10 +647,14 @@ def main():
                    "depth": DEPTH, "heads": HEADS,
                    "seq_length": SEQ_LENGTH,
                    "epochs1": args.epochs1, "epochs2": args.epochs2,
-                   "seeds": args.seeds,
-                   "note": ("identical synthetic cohort, L1-only stage-1 "
-                            "on both sides; see tools/quality_parity.py "
-                            "docstring")},
+                   "seeds": args.seeds, "n_test": args.n_test,
+                   "gan": bool(args.gan), "hard": bool(HARD),
+                   "warm_epochs": WARM_EPOCHS if args.gan else None,
+                   "note": ("identical synthetic cohort; stage-1 "
+                            + ("FULL GAN (LSGAN+warm-up+identical-weights "
+                               "perceptual) on both sides"
+                               if args.gan else "L1-only on both sides")
+                            + "; see tools/quality_parity.py docstring")},
         "torch_reference": {k: round(mean("torch_reference", k), 4)
                             for k in runs[0]["torch_reference"]},
         "gfe_mamba_tpu": {k: round(mean("gfe_mamba_tpu", k), 4)
