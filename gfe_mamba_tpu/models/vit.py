@@ -49,6 +49,9 @@ class ViTAttention(nn.Module):
         attn = jax.nn.softmax(
             jnp.einsum("bhid,bhjd->bhij", q, k) * self.dim_head ** -0.5, axis=-1
         )
+        # sown for vit_zoo_final.record_attention (recorder.py's hook on
+        # `attend`); a no-op unless 'intermediates' is mutable
+        self.sow("intermediates", "attn", attn)
         attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
         out = jnp.einsum("bhij,bhjd->bhid", attn, v)
         out = rearrange(out, "b h n d -> b n (h d)")
