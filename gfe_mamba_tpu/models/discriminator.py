@@ -17,6 +17,12 @@ access pattern (main_gan_vit.py:75,88,90).  Instance norm (GroupNorm
 with one channel per group) replaces batch norm: batch-size-1 GAN
 training (the reference's config) makes batch statistics degenerate,
 and instance norm jits cleanly with no mutable state.
+
+Initialization follows MONAI's ``initialise_weights`` DCGAN convention
+(convs ~ N(0, 0.02), norm scale ~ N(1, 0.02)): the GAN equilibrium is
+sensitive to the discriminator's initial logit scale, and flax's
+default lecun_normal starts the critic in a measurably different
+regime than the reference's.
 """
 
 from __future__ import annotations
@@ -28,12 +34,18 @@ from flax import linen as nn
 Array = jax.Array
 
 
+def _dcgan_norm_scale(key, shape, dtype=jnp.float32):
+    """MONAI initialise_weights: norm weight ~ N(1.0, 0.02)."""
+    return 1.0 + 0.02 * jax.random.normal(key, shape, dtype)
+
+
 class PatchDiscriminator(nn.Module):
     num_layers_d: int = 3
     num_channels: int = 32
     out_channels: int = 1
     kernel_size: int = 4
     dims: int = 3
+    dcgan_init: bool = True
 
     @staticmethod
     def _padding(x: Array, kernel: int) -> list[tuple[int, int]]:
@@ -54,11 +66,16 @@ class PatchDiscriminator(nn.Module):
         s2 = (2,) * self.dims
         s1 = (1,) * self.dims
         features = []
+        conv_kw = {}
+        norm_kw = {}
+        if self.dcgan_init:
+            conv_kw["kernel_init"] = nn.initializers.normal(0.02)
+            norm_kw["scale_init"] = _dcgan_norm_scale
 
         ch = self.num_channels
         x = nn.Conv(ch, k, strides=s2,
                     padding=self._padding(x, self.kernel_size),
-                    name="conv_0")(x)
+                    name="conv_0", **conv_kw)(x)
         x = jax.nn.leaky_relu(x, 0.2)
         features.append(x)
 
@@ -66,21 +83,23 @@ class PatchDiscriminator(nn.Module):
             ch *= 2
             x = nn.Conv(ch, k, strides=s2,
                         padding=self._padding(x, self.kernel_size),
-                        use_bias=False, name=f"conv_{i}")(x)
-            x = nn.GroupNorm(num_groups=None, group_size=1, name=f"norm_{i}")(x)
+                        use_bias=False, name=f"conv_{i}", **conv_kw)(x)
+            x = nn.GroupNorm(num_groups=None, group_size=1,
+                             name=f"norm_{i}", **norm_kw)(x)
             x = jax.nn.leaky_relu(x, 0.2)
             features.append(x)
 
         ch *= 2
         x = nn.Conv(ch, k, strides=s1,
                     padding=self._padding(x, self.kernel_size),
-                    use_bias=False, name="conv_pre")(x)
-        x = nn.GroupNorm(num_groups=None, group_size=1, name="norm_pre")(x)
+                    use_bias=False, name="conv_pre", **conv_kw)(x)
+        x = nn.GroupNorm(num_groups=None, group_size=1, name="norm_pre",
+                         **norm_kw)(x)
         x = jax.nn.leaky_relu(x, 0.2)
         features.append(x)
 
         logits = nn.Conv(self.out_channels, k, strides=s1,
                          padding=self._padding(x, self.kernel_size),
-                         name="conv_out")(x)
+                         name="conv_out", **conv_kw)(x)
         features.append(logits)
         return features

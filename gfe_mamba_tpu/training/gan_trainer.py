@@ -46,13 +46,21 @@ class GanTrainer:
                  lr_g: float = 1e-4, lr_d: float = 5e-4,
                  adv_weight: float = 0.01, perceptual_weight: float = 0.001,
                  grad_clip: float = 1.0, mixed_precision: str = "bf16",
-                 accum_steps: int = 1):
+                 accum_steps: int = 1, d_fresh_recon: bool = False):
         self.generator = generator
         self.discriminator = discriminator
         self.perceptual_loss = perceptual_loss
         self.adv_weight = adv_weight
         self.perceptual_weight = perceptual_weight
         self.accum = max(1, accum_steps)
+        # reference semantics: the discriminator trains against a SECOND
+        # no-grad generator forward run AFTER the G update
+        # (main_gan_vit.py:69,87).  The default shares the pre-update
+        # recon between both losses (one forward, ~30% faster step);
+        # d_fresh_recon=True buys exact reference dynamics.
+        self.d_fresh_recon = d_fresh_recon
+        if d_fresh_recon and self.accum > 1:
+            raise ValueError("d_fresh_recon requires accum_steps == 1")
         self.dtype = compute_dtype(mixed_precision)
         self.g_tx = adam_with_global_clip(lr_g, grad_clip)
         self.d_tx = optax.adam(lr_d)
@@ -158,20 +166,39 @@ class GanTrainer:
             (loss_g, (recon, recons_loss, p_loss, gen_adv)), g_grads = \
                 jax.value_and_grad(g_loss_fn, has_aux=True)(
                     state.g_params["params"], mri, pet, rng)
-            loss_d, d_grads = jax.value_and_grad(d_loss_fn)(
-                state.d_params["params"], recon, pet)
+            if not self.d_fresh_recon:
+                loss_d, d_grads = jax.value_and_grad(d_loss_fn)(
+                    state.d_params["params"], recon, pet)
         g_updates, g_opt = self.g_tx.update(
             g_grads, state.g_opt, state.g_params["params"])
         g_params = {**state.g_params,
                     "params": optax.apply_updates(
                         state.g_params["params"], g_updates)}
-        # gate the discriminator update entirely during warm-up
-        d_grads = jax.tree_util.tree_map(lambda g: g * adv_on, d_grads)
-        d_updates, d_opt = self.d_tx.update(
+        if self.accum == 1 and self.d_fresh_recon:
+            # second no-grad generator forward with the UPDATED params,
+            # train-mode dropout active (main_gan_vit.py:86-88 runs the
+            # .train() model under no_grad)
+            cp = cast_for_compute(g_params, self.dtype)
+            recon_d = self.generator.apply(
+                cp, cast_for_compute(mri, self.dtype), train=True,
+                rngs={"dropout": jax.random.fold_in(rng, 1)},
+            ).astype(jnp.float32)
+            loss_d, d_grads = jax.value_and_grad(d_loss_fn)(
+                state.d_params["params"], recon_d, pet)
+        # gate the discriminator update entirely during warm-up: like the
+        # reference's skipped opt_d.step() (main_gan_vit.py:84-97), the
+        # optimizer STATE must not advance either -- a zero-grad Adam
+        # step still increments the count and de-amplifies the bias
+        # correction of the first real post-warm-up updates
+        d_updates, d_opt_new = self.d_tx.update(
             d_grads, state.d_opt, state.d_params["params"])
+        gate = lambda new, old: jax.tree_util.tree_map(
+            lambda a, b: jnp.where(adv_on > 0, a, b), new, old)
+        d_opt = gate(d_opt_new, state.d_opt)
         d_params = {**state.d_params,
-                    "params": optax.apply_updates(
-                        state.d_params["params"], d_updates)}
+                    "params": gate(optax.apply_updates(
+                        state.d_params["params"], d_updates),
+                        state.d_params["params"])}
 
         new_state = GanState(step=state.step + 1, g_params=g_params,
                              d_params=d_params, g_opt=g_opt, d_opt=d_opt)

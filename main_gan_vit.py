@@ -79,6 +79,10 @@ def main(args):
         grad_clip=cf.get("grad_clip", 1.0),
         mixed_precision=cf.get("mixed_precision", "bf16"),
         accum_steps=cf.get("gradient_accumulation_steps", 1),
+        # true -> the reference's second post-update generator forward
+        # for the D step (main_gan_vit.py:86-88); default shares the
+        # forward (~30% faster step, slightly stale critic targets)
+        d_fresh_recon=cf.get("d_fresh_recon", False),
     )
 
     rng = jax.random.key(cf.get("seed", 0))

@@ -53,6 +53,8 @@ def test_gan_trainer_step_updates_and_warmup_gate():
                       jnp.float32)
     state = trainer.init_state(rng, mri, pet)
     d0 = jax.tree_util.tree_leaves(state.d_params)[0].copy()
+    opt0 = [np.asarray(l).copy()
+            for l in jax.tree_util.tree_leaves(state.d_opt)]
 
     # warm-up: adv gate 0 -> discriminator must NOT move
     state1, logs = trainer.train_step(state, mri, pet, jnp.float32(0.0), rng)
@@ -60,6 +62,13 @@ def test_gan_trainer_step_updates_and_warmup_gate():
     # train_step donates its input state; materialize before the next call
     d1 = np.asarray(jax.tree_util.tree_leaves(state1.d_params)[0])
     np.testing.assert_allclose(np.asarray(d0), d1)
+    # ... and neither must its optimizer state: the reference skips
+    # opt_d.step() entirely in warm-up (main_gan_vit.py:84-97), and an
+    # advancing Adam count would de-amplify the bias correction of the
+    # first real post-warm-up updates
+    opt1 = [np.asarray(l) for l in jax.tree_util.tree_leaves(state1.d_opt)]
+    for before, after in zip(opt0, opt1):
+        np.testing.assert_allclose(before, after)
 
     # post warm-up: both nets move
     state2, logs2 = trainer.train_step(state1, mri, pet, jnp.float32(1.0),
@@ -193,6 +202,45 @@ def test_gan_trainer_gradient_accumulation():
                     jax.tree_util.tree_leaves(states[1].d_params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-5)
+
+
+def test_gan_trainer_d_fresh_recon():
+    """d_fresh_recon=True: D trains against a post-update generator
+    forward (main_gan_vit.py:86-88 semantics).  With dropout off, the
+    D update must DIFFER from the shared-forward mode (the critic sees
+    the updated generator), while the G update is identical."""
+    cfg = dict(TINY_GEN, dropout_prob=0.0, vit_dropout=0.0,
+               vit_emb_dropout=0.0)
+    mri = jnp.asarray(np.random.RandomState(0).randn(1, 16, 16, 8, 1),
+                      jnp.float32)
+    pet = jnp.asarray(np.random.RandomState(1).randn(1, 16, 16, 8, 1),
+                      jnp.float32)
+    rng = jax.random.key(0)
+    states = []
+    for fresh in (False, True):
+        gen = ResidualMidUNet3DViT(1, 1, is_segmentation=False, **cfg)
+        disc = PatchDiscriminator(num_layers_d=2, num_channels=4)
+        trainer = GanTrainer(gen, disc, PerceptualLoss(fake_3d_ratio=0.5),
+                             mixed_precision="none", d_fresh_recon=fresh)
+        state = trainer.init_state(rng, mri, pet)
+        state, logs = trainer.train_step(state, mri, pet,
+                                         jnp.float32(1.0), rng)
+        assert np.isfinite(float(logs["d_loss"]))
+        states.append(state)
+    for a, b in zip(jax.tree_util.tree_leaves(states[0].g_params),
+                    jax.tree_util.tree_leaves(states[1].g_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+    d_diff = any(
+        not np.allclose(np.asarray(a), np.asarray(b), atol=1e-8)
+        for a, b in zip(jax.tree_util.tree_leaves(states[0].d_params),
+                        jax.tree_util.tree_leaves(states[1].d_params)))
+    assert d_diff
+
+    import pytest
+    with pytest.raises(ValueError):
+        GanTrainer(gen, disc, PerceptualLoss(fake_3d_ratio=0.5),
+                   accum_steps=2, d_fresh_recon=True)
 
 
 def test_classify_trainer_restore_without_init():

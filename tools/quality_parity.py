@@ -227,7 +227,18 @@ def _build_torch_patchgan(torch, num_layers_d=3, num_channels=32):
             feats.append(self.layers[-1](x))
             return feats
 
-    return TorchPatchGAN()
+    model = TorchPatchGAN()
+    # MONAI PatchDiscriminator.initialise_weights (DCGAN convention),
+    # mirrored by models/discriminator.py dcgan_init
+    for mod in model.modules():
+        if isinstance(mod, nn.Conv3d):
+            nn.init.normal_(mod.weight, 0.0, 0.02)
+            if mod.bias is not None:
+                nn.init.zeros_(mod.bias)
+        elif isinstance(mod, nn.InstanceNorm3d) and mod.affine:
+            nn.init.normal_(mod.weight, 1.0, 0.02)
+            nn.init.zeros_(mod.bias)
+    return model
 
 
 def _build_torch_perceptual(torch, fake_3d_ratio=0.25, seed=0):
@@ -508,12 +519,15 @@ def run_jax(cohort, seed: int, epochs1: int, epochs2: int,
                                      **gen_kwargs)
     if GAN:
         disc = PatchDiscriminator(num_layers_d=3, num_channels=32)
+        # d_fresh_recon: the reference's second post-update generator
+        # forward for the D step (main_gan_vit.py:86-88)
         trainer1 = GanTrainer(generator, disc,
                               PerceptualLoss(fake_3d_ratio=0.25, seed=0),
                               lr_g=1e-4, lr_d=5e-4,
                               adv_weight=ADV_WEIGHT,
                               perceptual_weight=PERC_WEIGHT,
-                              mixed_precision="none")
+                              mixed_precision="none",
+                              d_fresh_recon=True)
     else:
         disc = PatchDiscriminator(num_layers_d=2, num_channels=4)
         trainer1 = GanTrainer(generator, disc,
@@ -596,6 +610,11 @@ def main():
                              "always host CPU); tpu makes multi-seed runs "
                              "tractable at ~35 ms/dispatch")
     parser.add_argument("--verbose", action="store_true")
+    parser.add_argument("--reuse-torch", default=None, metavar="FROM.json",
+                        help="skip the torch side and copy its per-seed "
+                             "metrics from a previous artifact (cohorts "
+                             "are seed-deterministic, so this is exact); "
+                             "for cheap JAX-side ablations")
     args = parser.parse_args()
 
     import jax
@@ -621,14 +640,23 @@ def main():
         global GAN
         GAN = True
 
+    reuse = None
+    if args.reuse_torch:
+        with open(args.reuse_torch) as f:
+            reuse = {r["seed"]: r["torch_reference"]
+                     for r in json.load(f)["runs"]}
+
     runs = []
     for seed in args.seeds:
         cohort = make_cohort(seed,
                              n_train=32 if args.smoke else 128,
                              n_test=16 if args.smoke else args.n_test)
         t0 = time.time()
-        m_torch = run_torch(cohort, seed, args.epochs1, args.epochs2,
-                            verbose=args.verbose)
+        if reuse is not None:
+            m_torch = reuse[seed]
+        else:
+            m_torch = run_torch(cohort, seed, args.epochs1, args.epochs2,
+                                verbose=args.verbose)
         t1 = time.time()
         m_jax = run_jax(cohort, seed, args.epochs1, args.epochs2,
                         verbose=args.verbose)
