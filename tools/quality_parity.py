@@ -151,6 +151,16 @@ def metrics_from_preds(preds: np.ndarray, y: np.ndarray) -> dict:
             "accuracy": acc, "mcc": mcc}
 
 
+def recon_metrics(recon: np.ndarray, pet: np.ndarray) -> dict:
+    """Stage-1 test-set reconstruction quality (L1 + PSNR over the
+    [-1, 1] target range) -- localizes any classifier-metric delta to
+    the generator vs the downstream feature path."""
+    l1 = float(np.mean(np.abs(recon - pet)))
+    mse = float(np.mean((recon - pet) ** 2))
+    psnr = float(10 * np.log10(4.0 / mse)) if mse > 0 else float("inf")
+    return {"stage1_l1": l1, "stage1_psnr": psnr}
+
+
 def _epoch_batches(rng: np.random.Generator, n: int, batch: int):
     order = rng.permutation(n)
     for i in range(0, n - batch + 1, batch):
@@ -434,6 +444,11 @@ def run_torch(cohort, seed: int, epochs1: int, epochs2: int,
             print(f"[torch] stage1 epoch {epoch + 1}: "
                   f"g={np.mean(losses):.4f} adv_on={adv_on}", flush=True)
     gen.eval()
+    with torch.no_grad():
+        rec = np.concatenate(
+            [gen(to_t(te["mri"][i:i + batch])[:, None]).numpy()[:, 0]
+             for i in range(0, len(te["mri"]), batch)])
+    s1_metrics = recon_metrics(rec, te["pet"])
 
     # ---- Stage 2 (classify_mamba.py:36-117) ----
     ft = Cross_mamba_both(categories=cohort["categories"],
@@ -484,7 +499,8 @@ def run_torch(cohort, seed: int, epochs1: int, epochs2: int,
             logits = ft(to_t(te["x_cat"][sl]), to_t(te["x_num"][sl]),
                         feat, [mri, pet])
             preds.append(torch.sigmoid(logits.squeeze(-1)).numpy() >= 0.5)
-    return metrics_from_preds(np.concatenate(preds), te["y"])
+    return {**metrics_from_preds(np.concatenate(preds), te["y"]),
+            **s1_metrics}
 
 
 # ---------------------------------------------------------------------------
@@ -584,7 +600,12 @@ def run_jax(cohort, seed: int, epochs1: int, epochs2: int,
             jnp.asarray(te["x_num"][sl]),
             jnp.asarray(te["y"][sl].astype(np.float32)))
         preds.append(np.asarray(probs) >= 0.5)
-    return metrics_from_preds(np.concatenate(preds), te["y"])
+    rec = np.concatenate(
+        [np.asarray(trainer1.generate(state1.g_params,
+                                      vol(te["mri"][i:i + batch])))[..., 0]
+         for i in range(0, len(te["mri"]), batch)])
+    return {**metrics_from_preds(np.concatenate(preds), te["y"]),
+            **recon_metrics(rec, te["pet"])}
 
 
 # ---------------------------------------------------------------------------
