@@ -568,6 +568,14 @@ def run_jax(cohort, seed: int, epochs1: int, epochs2: int,
                   f"l1={np.mean(losses):.4f} adv_on={float(adv_on)}",
                   flush=True)
 
+    # stage-1 recon quality BEFORE state2 exists: the classify train
+    # state donates buffers shared with state1.g_params
+    rec = np.concatenate(
+        [np.asarray(trainer1.generate(state1.g_params,
+                                      vol(te["mri"][i:i + batch])))[..., 0]
+         for i in range(0, len(te["mri"]), batch)])
+    s1_metrics = recon_metrics(rec, te["pet"])
+
     # ---- Stage 2: frozen generator via optimizer mask ----
     model = build_gfe_mamba(categories=cohort["categories"],
                             num_continuous=cohort["num_continuous"],
@@ -600,12 +608,8 @@ def run_jax(cohort, seed: int, epochs1: int, epochs2: int,
             jnp.asarray(te["x_num"][sl]),
             jnp.asarray(te["y"][sl].astype(np.float32)))
         preds.append(np.asarray(probs) >= 0.5)
-    rec = np.concatenate(
-        [np.asarray(trainer1.generate(state1.g_params,
-                                      vol(te["mri"][i:i + batch])))[..., 0]
-         for i in range(0, len(te["mri"]), batch)])
     return {**metrics_from_preds(np.concatenate(preds), te["y"]),
-            **recon_metrics(rec, te["pet"])}
+            **s1_metrics}
 
 
 # ---------------------------------------------------------------------------
