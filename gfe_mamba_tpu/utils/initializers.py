@@ -1,0 +1,73 @@
+"""Torch-convention parameter re-initialization.
+
+Why this exists: flax's default ``lecun_normal`` kernels are ~1.7x
+larger (std 1/sqrt(fan_in)) than torch's default
+``kaiming_uniform(a=sqrt(5))`` (U(+-sqrt(1/fan_in)), std
+~0.577/sqrt(fan_in)), and flax zero-initializes biases where torch
+draws U(+-1/sqrt(fan_in)).  For the Stage-1 generator this is
+convergence-critical, not cosmetic: on the hard synthetic cohort
+(seed 5, 20 epochs, L1-only) the flax-default generator converges to
+test recon L1 0.0832 / PSNR 25.3 while the SAME model under torch-
+statistics init reaches 0.0396 / 31.4 -- better than the torch
+reference itself (0.0452 / 30.7).  The r03 GAN quality-parity deficit
+(pooled MCC -3.1 pt) traced entirely to this, with the adversarial
+game merely amplifying the under-converged reconstruction into the
+Stage-2 features.
+
+``resample_torch_init`` re-draws every ``kernel`` leaf as torch
+``kaiming_uniform(a=sqrt(5))`` with fan_in = prod(kernel.shape[:-1])
+(correct for both Dense (in, out) and Conv (*window, in, out) layouts
+-- the same products torch computes) and every sibling ``bias`` as
+U(+-1/sqrt(fan_in)) (torch Linear/ConvNd bias law).  Norm scales/
+biases and non-kernel parameters (cls/pos tokens, GroupNorm affine)
+are left untouched: torch initializes norm weight=1/bias=0 exactly
+like flax, and the token parameters follow model-specific laws.
+
+Reference init laws: torch.nn.Linear.reset_parameters /
+torch.nn.modules.conv._ConvNd.reset_parameters.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+
+def resample_torch_init(params: Any, rng: Array) -> Any:
+    """Re-draw kernel/bias leaves of a flax param tree with torch's
+    default init distributions (see module docstring).  Deterministic
+    in ``rng`` and the tree structure."""
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+
+    def names_of(path):
+        return tuple(getattr(p, "key", str(p)) for p in path)
+
+    kernel_shape = {}
+    for path, leaf in flat:
+        names = names_of(path)
+        if names and names[-1] == "kernel":
+            kernel_shape[names[:-1]] = leaf.shape
+
+    keys = jax.random.split(rng, max(len(flat), 1))
+    out = []
+    for (path, leaf), key in zip(flat, keys):
+        names = names_of(path)
+        if names and names[-1] == "kernel":
+            fan_in = int(np.prod(leaf.shape[:-1]))
+            bound = np.sqrt(1.0 / fan_in)
+            out.append(jax.random.uniform(key, leaf.shape, leaf.dtype,
+                                          -bound, bound))
+        elif (names and names[-1] == "bias"
+              and names[:-1] in kernel_shape):
+            ks = kernel_shape[names[:-1]]
+            bound = 1.0 / np.sqrt(int(np.prod(ks[:-1])))
+            out.append(jax.random.uniform(key, leaf.shape, leaf.dtype,
+                                          -bound, bound))
+        else:
+            out.append(leaf)
+    return jax.tree_util.tree_unflatten(treedef, out)

@@ -83,6 +83,9 @@ def main(args):
         # for the D step (main_gan_vit.py:86-88); default shares the
         # forward (~30% faster step, slightly stale critic targets)
         d_fresh_recon=cf.get("d_fresh_recon", False),
+        # torch-law generator init (utils/initializers.py): convergence-
+        # critical -- flax-default init converges 2x worse recon L1
+        g_init=cf.get("g_init", "torch"),
     )
 
     rng = jax.random.key(cf.get("seed", 0))

@@ -204,6 +204,61 @@ def test_gan_trainer_gradient_accumulation():
                                    rtol=2e-4, atol=2e-5)
 
 
+def test_resample_torch_init_laws():
+    """kernels -> U(+-sqrt(1/fan_in)), sibling biases ->
+    U(+-1/sqrt(fan_in)), norm affine untouched (torch Linear/ConvNd
+    reset_parameters laws; utils/initializers.py)."""
+    from gfe_mamba_tpu.utils.initializers import resample_torch_init
+    params = {
+        "conv": {"kernel": jnp.ones((3, 3, 3, 16, 8)),
+                 "bias": jnp.ones((8,))},
+        "dense": {"kernel": jnp.ones((256, 64)), "bias": jnp.ones((64,))},
+        "norm": {"scale": jnp.ones((16,)), "bias": jnp.zeros((16,))},
+        "cls_token": jnp.full((1, 1, 8), 3.0),
+    }
+    out = resample_torch_init(params, jax.random.key(0))
+    for name, fan_in in (("conv", 3 * 3 * 3 * 16), ("dense", 256)):
+        k = np.asarray(out[name]["kernel"])
+        bound = np.sqrt(1.0 / fan_in)
+        assert np.abs(k).max() <= bound and np.abs(k).max() > 0.8 * bound
+        assert abs(k.mean()) < 0.2 * bound
+        b = np.asarray(out[name]["bias"])
+        bb = 1.0 / np.sqrt(fan_in)
+        assert np.abs(b).max() <= bb
+        assert not np.allclose(b, 1.0)
+    np.testing.assert_allclose(np.asarray(out["norm"]["scale"]), 1.0)
+    np.testing.assert_allclose(np.asarray(out["norm"]["bias"]), 0.0)
+    np.testing.assert_allclose(np.asarray(out["cls_token"]), 3.0)
+
+
+def test_gan_trainer_torch_init_default():
+    """GanTrainer defaults to torch-law generator init; g_init='flax'
+    keeps the flax init; the discriminator keeps its DCGAN init."""
+    gen = ResidualMidUNet3DViT(1, 1, is_segmentation=False, **TINY_GEN)
+    disc = PatchDiscriminator(num_layers_d=2, num_channels=4)
+    mri = jnp.zeros((1, 16, 16, 8, 1), jnp.float32)
+    rng = jax.random.key(0)
+    states = {}
+    for style in ("torch", "flax"):
+        trainer = GanTrainer(gen, disc, PerceptualLoss(fake_3d_ratio=0.5),
+                             mixed_precision="none", g_init=style)
+        states[style] = trainer.init_state(rng, mri, mri)
+    g_t = jax.tree_util.tree_leaves(states["torch"].g_params)
+    g_f = jax.tree_util.tree_leaves(states["flax"].g_params)
+    assert any(not np.allclose(np.asarray(a), np.asarray(b))
+               for a, b in zip(g_t, g_f))
+    # discriminators identical (resampling is generator-only; the D has
+    # MONAI's DCGAN init already)
+    for a, b in zip(jax.tree_util.tree_leaves(states["torch"].d_params),
+                    jax.tree_util.tree_leaves(states["flax"].d_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    import pytest
+    with pytest.raises(ValueError):
+        GanTrainer(gen, disc, PerceptualLoss(fake_3d_ratio=0.5),
+                   g_init="bogus")
+
+
 def test_gan_trainer_d_fresh_recon():
     """d_fresh_recon=True: D trains against a post-update generator
     forward (main_gan_vit.py:86-88 semantics).  With dropout off, the
