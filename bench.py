@@ -231,6 +231,28 @@ def main():
         # env vars are baked at interpreter startup here (jax preimport
         # via sitecustomize); config.update is the reliable override
         jax.config.update("jax_platforms", "cpu")
+    else:
+        # tunnel watchdog: the axon relay can wedge server-side (a
+        # request that never returns and blocks every later client,
+        # uninterruptibly -- SIGALRM never fires inside the blocked
+        # native call).  Probe from a SUBPROCESS with a hard timeout so
+        # a dead tunnel yields an error JSON instead of a silent hang.
+        import subprocess
+        import sys
+        try:
+            subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp; "
+                 "float(jnp.ones((8, 8)).sum())"],
+                timeout=120, check=True,
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+            print(json.dumps({"metric": "e2e_mri_volumes_per_sec_per_chip",
+                              "value": 0.0, "unit": "volumes/s",
+                              "vs_baseline": 0.0,
+                              "error": "tpu tunnel unresponsive "
+                                       "(120 s probe timeout)"}))
+            return
     jax.config.update("jax_compilation_cache_dir",
                       os.path.expanduser("~/.jax_cache"))
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
