@@ -7,3 +7,4 @@ from gfe_mamba_tpu.data.datasets import (
     classi_dataloader,
 )
 from gfe_mamba_tpu.data.loader import DataLoader
+from gfe_mamba_tpu.data import augment2d

@@ -50,8 +50,9 @@ uses flax's functional intermediates capture:
   region, es_vit.py:61-80) and the projector MLP with the reference's
   GELU-on-every-layer quirk (es_vit.py:118-140, the ``is_last``
   comparison that never fires).  Teacher EMA + centering reuse
-  ``vit_zoo.ema_update``; the torchvision crop/jitter augmentation
-  stack is host-side data prep and is not part of the model.
+  ``vit_zoo.ema_update``; the crop/jitter view pipeline
+  (es_vit.py:244-268) is ``data/augment2d.py`` -- JAX-native,
+  on-device, per-sample (``ssl_views_batch``).
 * ``MaxViTWithRegisters`` -- max_vit_with_registers.py: MaxViT (MBConv
   + block/grid window attention, reusing vit_zoo_hier's blocks) with
   per-block register tokens packed in front of every window, a shared
