@@ -63,8 +63,18 @@ def _apply_act(y: Array, act: str) -> Array:
     raise ValueError(f"unknown activation {act!r}")
 
 
+# Split staging (round 3): dot the dense center 2C block of the K
+# layout straight from the input slab (z offset 1) and stage only the
+# two C-wide edge slices -- halves the per-tile staging-store traffic
+# vs building the full 4C operand (~8 ms/full-res unit measured).
+# Flip to False if a Mosaic build rejects the sublane-offset dot
+# operand (the full-4C staging path is kept verbatim).
+_SPLIT_STAGING = True
+
+
 def _kernel(w_ref, b_ref, x_ref, *rest, XT, YT,
-            ZH, C, F, act, out_dtype, with_res=False, post_act="none"):
+            ZH, C, F, act, out_dtype, with_res=False, post_act="none",
+            split=_SPLIT_STAGING):
     """One (b, i, j) output tile.
 
     z-pairs are packed into the lane dim outside the kernel (fine z =
@@ -117,17 +127,34 @@ def _kernel(w_ref, b_ref, x_ref, *rest, XT, YT,
     # (staged via stores -- Mosaic cannot combine vectors with
     # mismatched sublane offsets directly)
     slab = in_buf[slot]
-    a4_buf[:, :, :, 0 * C:1 * C] = slab[:, :, 0:ZH, C:2 * C]
-    a4_buf[:, :, :, 1 * C:3 * C] = slab[:, :, 1:ZH + 1, :]
-    a4_buf[:, :, :, 3 * C:4 * C] = slab[:, :, 2:ZH + 2, 0:C]
-
     acc = jnp.zeros((XT, YT, ZH, 2 * F), jnp.float32)
-    for dx in range(3):
-        for dy in range(3):
-            acc += jax.lax.dot_general(
-                a4_buf[dx:dx + XT, dy:dy + YT], w_ref[dx * 3 + dy],
-                (((3,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+    if split:
+        # center 2C rows (K slots 1-2, dense) read straight from the
+        # slab; only the two C-wide edge slices (slots 0 and 3) are
+        # staged.  w_ref rows: [0:2C) center, [2C:4C) edges.
+        a4_buf[:, :, :, 0:C] = slab[:, :, 0:ZH, C:2 * C]
+        a4_buf[:, :, :, C:2 * C] = slab[:, :, 2:ZH + 2, 0:C]
+        for dx in range(3):
+            for dy in range(3):
+                w9 = w_ref[dx * 3 + dy]
+                acc += jax.lax.dot_general(
+                    slab[dx:dx + XT, dy:dy + YT, 1:ZH + 1, :],
+                    w9[0:2 * C], (((3,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                acc += jax.lax.dot_general(
+                    a4_buf[dx:dx + XT, dy:dy + YT], w9[2 * C:4 * C],
+                    (((3,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+    else:
+        a4_buf[:, :, :, 0 * C:1 * C] = slab[:, :, 0:ZH, C:2 * C]
+        a4_buf[:, :, :, 1 * C:3 * C] = slab[:, :, 1:ZH + 1, :]
+        a4_buf[:, :, :, 3 * C:4 * C] = slab[:, :, 2:ZH + 2, 0:C]
+        for dx in range(3):
+            for dy in range(3):
+                acc += jax.lax.dot_general(
+                    a4_buf[dx:dx + XT, dy:dy + YT], w_ref[dx * 3 + dy],
+                    (((3,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
 
     acc += b_ref[0].astype(jnp.float32)
     acc = _apply_act(acc, act)
@@ -139,17 +166,22 @@ def _kernel(w_ref, b_ref, x_ref, *rest, XT, YT,
     out_ref[0] = acc.astype(out_dtype)
 
 
-def _pack_weights(w, dtype):
+def _pack_weights(w, dtype, split=_SPLIT_STAGING):
     """(3,3,3,C,F) -> (9, 4C, 2F) for the z-pair-packed GEMM.
 
     Output lane h*F+f with tap displacement da = dz-1 reads K slot
-    s = h + dz - 1 + 1 = h + dz (s in 0..3)."""
+    s = h + dz - 1 + 1 = h + dz (s in 0..3).  With ``split`` the slot
+    rows are reordered [1, 2, 0, 3] so the dense center block (slots
+    1-2) occupies K rows [0, 2C) and the two half-zero edge slots the
+    rows [2C, 4C) -- matching the kernel's slab-direct center dot."""
     C, F = w.shape[-2:]
     w4 = jnp.zeros((3, 3, 4, C, 2, F), dtype)
     wt = w.astype(dtype)
     for dz in range(3):
         for h in range(2):
             w4 = w4.at[:, :, h + dz, :, h, :].set(wt[:, :, dz])
+    if split:
+        w4 = w4[:, :, jnp.array([1, 2, 0, 3])]
     return w4.reshape(3, 3, 4 * C, 2 * F).reshape(9, 4 * C, 2 * F)
 
 
@@ -171,10 +203,11 @@ def unpack_z(xp: Array) -> Array:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("act", "post_act", "out_dtype", "xt", "yt", "interpret"))
+    static_argnames=("act", "post_act", "out_dtype", "xt", "yt", "interpret",
+                     "split"))
 def _conv3x3x3_fused_p(xv, w, bias, pre_scale, pre_shift, residual=None, *,
                        act="none", post_act="none", out_dtype=None, xt=8,
-                       yt=8, interpret=False):
+                       yt=8, interpret=False, split=_SPLIT_STAGING):
     """Packed-domain fused unit: all tensor IO is z-pair packed.
 
     Computes ``post_act(act(conv3d(x*scale+shift, w) + bias)
@@ -202,7 +235,7 @@ def _conv3x3x3_fused_p(xv, w, bias, pre_scale, pre_shift, residual=None, *,
            (1, ZP - ZH - 1), (0, 0))
     xp = jnp.pad(xv, pad)
 
-    wr = _pack_weights(w, xv.dtype)
+    wr = _pack_weights(w, xv.dtype, split=split)
     b_in = (bias if bias is not None else jnp.zeros((F,), xv.dtype))
     b_in = jnp.tile(b_in.astype(xv.dtype), 2).reshape(1, 2 * F)
 
@@ -227,7 +260,7 @@ def _conv3x3x3_fused_p(xv, w, bias, pre_scale, pre_shift, residual=None, *,
     out = pl.pallas_call(
         functools.partial(_kernel, XT=XT, YT=YT, ZH=ZH, C=C, F=F, act=act,
                           out_dtype=out_dtype, with_res=with_res,
-                          post_act=post_act),
+                          post_act=post_act, split=split),
         grid=(B, nx, ny),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
@@ -237,7 +270,8 @@ def _conv3x3x3_fused_p(xv, w, bias, pre_scale, pre_shift, residual=None, *,
                                        out_dtype),
         scratch_shapes=[
             pltpu.VMEM((2, XT + 2, YT + 2, ZP, 2 * C), xv.dtype),
-            pltpu.VMEM((XT + 2, YT + 2, ZH, 4 * C), xv.dtype),
+            pltpu.VMEM((XT + 2, YT + 2, ZH, (2 if split else 4) * C),
+                       xv.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
@@ -253,13 +287,14 @@ def _conv3x3x3_fused_p(xv, w, bias, pre_scale, pre_shift, residual=None, *,
 
 
 def _conv3x3x3_fused(x, w, bias, pre_scale, pre_shift, *, act="none",
-                     out_dtype=None, xt=8, yt=8, interpret=False):
+                     out_dtype=None, xt=8, yt=8, interpret=False,
+                     split=_SPLIT_STAGING):
     """Unpacked wrapper around the packed core (legacy interface):
     act(conv3d(x * pre_scale + pre_shift, w) + bias), SAME, stride 1.
     x: (B, X, Y, Z, C) with Z even; w: (3,3,3,C,F)."""
     out = _conv3x3x3_fused_p(pack_z(x), w, bias, pre_scale, pre_shift,
                              act=act, out_dtype=out_dtype, xt=xt, yt=yt,
-                             interpret=interpret)
+                             interpret=interpret, split=split)
     return unpack_z(out)
 
 
@@ -317,8 +352,9 @@ def _vmem_estimate(x_shape, w_shape, xt=4, yt=16, itemsize=2):
     zh = Z // 2
     zp = -(-(zh + 2) // 8) * 8
     it = itemsize
+    stage_c = 2 * C if _SPLIT_STAGING else 4 * C
     return (2 * (xt + 2) * (yt + 2) * zp * 2 * C * it      # in_buf x2
-            + (xt + 2) * (yt + 2) * zh * 4 * C * it        # a4
+            + (xt + 2) * (yt + 2) * zh * stage_c * it      # edge/a4 stage
             + xt * yt * zh * 2 * F * 4                     # acc
             + xt * yt * zh * 2 * F * it                    # out
             + 9 * 4 * C * 2 * F * it)                      # w

@@ -329,3 +329,33 @@ def test_packed_unet_remat_parity():
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5), g, gr)
+
+
+@pytest.mark.parametrize("split", [True, False])
+def test_kernel_interpret_split_staging_modes(split):
+    """Both staging layouts of the packed kernel -- split (center 2C
+    dotted straight from the slab, edges staged) and full-4C -- must
+    match the XLA twin, plain and with the residual epilogue."""
+    from gfe_mamba_tpu.ops.pallas.conv3d import (_conv3x3x3_fused_p,
+                                                 pack_z, unpack_z)
+
+    x = _rand(0, (1, 8, 8, 8, 16))
+    w = _rand(1, (3, 3, 3, 16, 8)) * 0.1
+    bias = _rand(2, (8,)) * 0.1
+    a = 1.0 + 0.1 * _rand(3, (1, 16))
+    b = 0.1 * _rand(4, (1, 16))
+    got = unpack_z(_conv3x3x3_fused_p(pack_z(x), w, bias, a, b,
+                                      act="relu", xt=4, yt=4,
+                                      interpret=True, split=split))
+    want = _reference_impl(x, w, bias, a, b, "relu")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+    res = _rand(5, (1, 8, 8, 8, 8))
+    got = unpack_z(_conv3x3x3_fused_p(pack_z(x), w, bias, a, b,
+                                      pack_z(res), act="none",
+                                      post_act="elu", xt=4, yt=4,
+                                      interpret=True, split=split))
+    want = jax.nn.elu(_reference_impl(x, w, bias, a, b, "none") + res)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
