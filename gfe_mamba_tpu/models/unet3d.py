@@ -112,6 +112,12 @@ class UNet(nn.Module):
             and self.pool_kernel_size == 2
             and self.upsample in ("default", "deconv")
             and x.shape[3] % (2 ** len(self.f_maps)) == 0
+            # the packed decoder sum-join has no skip-shape resize (the
+            # octant deconv emits exactly 2x), so X/Y must pool/deconv
+            # losslessly through every level; the unpacked path keeps
+            # its _interpolate_to tolerance for odd shapes
+            and x.shape[1] % (2 ** (len(self.f_maps) - 1)) == 0
+            and x.shape[2] % (2 ** (len(self.f_maps) - 1)) == 0
             and all(f % 64 == 0 for f in self.f_maps)
         )
 

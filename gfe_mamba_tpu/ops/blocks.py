@@ -723,6 +723,13 @@ class Decoder(nn.Module):
                     x = unpack_z(deconv3x3x3_s2_packed(
                         pack_z(x), kernel.astype(x.dtype)))
                 else:
+                    # round-3 deliberate change: (1,1) symmetric pad
+                    # (2n-1 samples + nearest resize).  The old (1,0)
+                    # pad did NOT give the claimed 2n transposed-conv
+                    # grid (flax emitted 2n-2 and nearest-stretched),
+                    # so boundary voxels from pre-round-3 fast-mode
+                    # checkpoints differ here; exact torch parity is
+                    # exact_reference_upsample=True, unchanged.
                     x = nn.ConvTranspose(
                         self.out_channels,
                         kernel_size=(self.conv_kernel_size,) * self.dims,

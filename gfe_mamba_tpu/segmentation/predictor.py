@@ -168,6 +168,11 @@ def dsb_predict(
         paths = [path] if isinstance(path, (str, os.PathLike)) else list(path)
         batch = img if len(paths) > 1 or img.ndim == 4 else img[None]
         preds = np.asarray(predict_fn(batch))
+        if len(preds) != len(paths):
+            raise ValueError(
+                f"dsb_predict: {len(preds)} predictions for "
+                f"{len(paths)} output path(s) -- a batched image must "
+                f"be paired with a list of one path per batch item")
         for single_pred, single_path in zip(preds, paths):
             single_pred = np.squeeze(single_pred)
             out_file = os.path.splitext(single_path)[0] + "_predictions.h5"

@@ -18,7 +18,16 @@ Stage-2 features.
 ``kaiming_uniform(a=sqrt(5))`` with fan_in = prod(kernel.shape[:-1])
 (correct for both Dense (in, out) and Conv (*window, in, out) layouts
 -- the same products torch computes) and every sibling ``bias`` as
-U(+-1/sqrt(fan_in)) (torch Linear/ConvNd bias law).  Norm scales/
+U(+-1/sqrt(fan_in)) (torch Linear/ConvNd bias law).
+
+Known, deliberate deviation: torch's ConvTranspose fan-in is
+``out_ch * prod(window)`` (weight layout (in, out, *k); fan-in =
+size(1) * receptive field), so for the generator's decoder deconvs
+with in_ch = 2 * out_ch this law draws them 1/sqrt(2) NARROWER than
+torch would.  Measured on the hard-cohort stage-1 A/B this is the
+better-converging side of the difference (see module docstring
+numbers: 0.0396 vs torch's 0.0452), so the uniform-fan_in law is kept
+as a design choice rather than replicated bug-for-bug.  Norm scales/
 biases and non-kernel parameters (cls/pos tokens, GroupNorm affine)
 are left untouched: torch initializes norm weight=1/bias=0 exactly
 like flax, and the token parameters follow model-specific laws.

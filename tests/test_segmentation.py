@@ -416,3 +416,11 @@ def test_dsb_predictor(tmp_path):
     with h5py.File(paths[0]) as f:
         np.testing.assert_allclose(f["predictions"][...], pm)
         assert set(np.unique(f["segmentation"][...])) == {0, 1, 2}
+
+
+def test_dsb_predict_batched_image_single_path_raises(tmp_path):
+    from gfe_mamba_tpu.segmentation.predictor import dsb_predict
+
+    batch = np.zeros((3, 8, 8, 1), np.float32)
+    with pytest.raises(ValueError, match="one path per batch item"):
+        dsb_predict(lambda b: b, [(batch, str(tmp_path / "a.png"))])

@@ -173,3 +173,16 @@ def test_param_count_parity_with_reference():
     ours = sum(int(np.prod(l.shape))
                for l in jax.tree_util.tree_leaves(variables["params"]))
     assert ours == ref_count - dead
+
+
+def test_packed_flow_declines_nondivisible_xy():
+    """X/Y not divisible by 2^(levels-1) must fall back to the unpacked
+    path (whose decoder resizes to the skip shape) instead of engaging
+    the packed octant decoder, whose sum-join has no resize
+    (round-3 regression: the gate only checked z)."""
+    model = ResidualUNet3D(1, 1, f_maps=(64, 128, 256), layer_order="cge",
+                           is_segmentation=False, conv_impl="fused")
+    x = jnp.zeros((1, 18, 18, 16, 1))
+    params = model.init(jax.random.key(0), x)
+    out = model.apply(params, x)
+    assert out.shape == (1, 18, 18, 16, 1)

@@ -668,8 +668,23 @@ def main():
     reuse = None
     if args.reuse_torch:
         with open(args.reuse_torch) as f:
-            reuse = {r["seed"]: r["torch_reference"]
-                     for r in json.load(f)["runs"]}
+            prior = json.load(f)
+        # the torch metrics are only reusable if they came from the
+        # SAME experiment definition (cohorts are seed-deterministic
+        # given these fields)
+        want = {"shape": list(SHAPE), "f_maps": list(F_MAPS), "dim": DIM,
+                "depth": DEPTH, "heads": HEADS, "seq_length": SEQ_LENGTH,
+                "epochs1": args.epochs1, "epochs2": args.epochs2,
+                "n_test": args.n_test, "gan": bool(args.gan),
+                "hard": bool(HARD)}
+        pc = prior.get("config", {})
+        for k, v in want.items():
+            if pc.get(k) != v:
+                raise SystemExit(
+                    f"--reuse-torch {args.reuse_torch}: config[{k!r}] = "
+                    f"{pc.get(k)!r} does not match this run's {v!r}; the "
+                    f"prior torch metrics are not comparable")
+        reuse = {r["seed"]: r["torch_reference"] for r in prior["runs"]}
 
     runs = []
     for seed in args.seeds:
