@@ -67,9 +67,11 @@ def _apply_act(y: Array, act: str) -> Array:
 # layout straight from the input slab (z offset 1) and stage only the
 # two C-wide edge slices -- halves the per-tile staging-store traffic
 # vs building the full 4C operand (~8 ms/full-res unit measured).
-# Flip to False if a Mosaic build rejects the sublane-offset dot
-# operand (the full-4C staging path is kept verbatim).
-_SPLIT_STAGING = True
+# Default False until a real-Mosaic A/B confirms the sublane-offset
+# dot operand compiles AND wins (tools/ab_split_staging.py); interpret
+# mode cannot validate Mosaic layout constraints, and an unverified
+# default would turn a rejection into a driver-bench compile crash.
+_SPLIT_STAGING = False
 
 
 def _kernel(w_ref, b_ref, x_ref, *rest, XT, YT,
