@@ -213,10 +213,34 @@ class GanTrainer:
                         state.d_params["params"], d_updates),
                         state.d_params["params"])}
 
-        new_state = GanState(step=state.step + 1, g_params=g_params,
-                             d_params=d_params, g_opt=g_opt, d_opt=d_opt)
+        # in-jit finite guard (SURVEY.md 5.3 -- the reference silently
+        # trains on NaNs, main_gan_vit.py:78-97): a non-finite loss or
+        # gradient keeps the OLD state for BOTH players; works under
+        # donation because the select happens inside the traced function
+        # (classify_trainer.py:91-106 pattern).
+        def all_finite(tree):
+            return jnp.stack(
+                [jnp.all(jnp.isfinite(g))
+                 for g in jax.tree_util.tree_leaves(tree)]).all()
+
+        ok = (jnp.isfinite(loss_g) & jnp.isfinite(loss_d)
+              & all_finite(g_grads) & all_finite(d_grads))
+
+        def pick(new, old):
+            if hasattr(new, "dtype") and jnp.issubdtype(new.dtype,
+                                                        jnp.inexact):
+                return jnp.where(ok, new, old)
+            return new
+
+        sel = lambda new, old: jax.tree_util.tree_map(pick, new, old)
+        new_state = GanState(step=state.step + 1,
+                             g_params=sel(g_params, state.g_params),
+                             d_params=sel(d_params, state.d_params),
+                             g_opt=sel(g_opt, state.g_opt),
+                             d_opt=sel(d_opt, state.d_opt))
         logs = {"g_loss": loss_g, "d_loss": loss_d, "l1": recons_loss,
-                "perceptual": p_loss, "gen_adv": gen_adv}
+                "perceptual": p_loss, "gen_adv": gen_adv,
+                "skipped": jnp.logical_not(ok).astype(jnp.float32)}
         return new_state, logs
 
     # ------------------------------------------------------------------

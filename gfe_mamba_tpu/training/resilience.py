@@ -84,8 +84,10 @@ class AutoResume:
         self.keep = keep
         self._slot = 0
 
-    def maybe_save(self, step: int, state: Any) -> bool:
-        if step == 0 or step % self.interval:
+    def maybe_save(self, step: int, state: Any, force: bool = False) -> bool:
+        """Snapshot every ``interval`` steps; ``force=True`` snapshots
+        regardless (epoch boundaries, pre-shutdown)."""
+        if not force and (step == 0 or step % self.interval):
             return False
         name = f"auto_{self._slot}"
         self.ckpt.save(name, {"step": step, "state": state})

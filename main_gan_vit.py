@@ -30,6 +30,7 @@ from gfe_mamba_tpu.parallel.mesh import make_mesh
 from gfe_mamba_tpu.training.checkpoint import (
     AsyncCheckpointManager, Checkpointer, save_params_npz)
 from gfe_mamba_tpu.training.gan_trainer import GanTrainer
+from gfe_mamba_tpu.training.resilience import AutoResume, StrikeCounter
 from gfe_mamba_tpu.utils.experiment import ExperimentDir, save_volume_grid
 
 
@@ -92,6 +93,31 @@ def main(args):
     sample = jnp.zeros((cf["train_bc"],) + img_sz + (1,), jnp.float32)
     state = trainer.init_state(rng, sample, sample)
 
+    # crash recovery (SURVEY.md 5.3; reference parity:
+    # pytorch3dunet/unet3d/trainer.py:131-146 can resume, the
+    # reference's flagship GAN loop cannot -- a 200-epoch run dying at
+    # epoch 150 replays from scratch).  Snapshots live in a STABLE dir
+    # keyed by project_dir (NOT the timestamped run dir) so a restarted
+    # process finds them; disable with autoresume: false.
+    import os
+    auto = None
+    start_epoch, global_step = 0, 0
+    if cf.get("autoresume", True) and not cf.get("is_debug", False):
+        resume_dir = cf.get("resume_dir") or os.path.join(
+            cf.get("project_dir", "weights"), "autoresume_main_gan_vit")
+        auto = AutoResume(os.path.abspath(resume_dir),
+                          interval=cf.get("autoresume_interval", 500),
+                          keep=cf.get("autoresume_keep", 2))
+        like = {"gan": state, "epoch": 0, "rng": rng}
+        saved_step, payload = auto.restore_latest(like=like)
+        if payload is not None:
+            state, rng = payload["gan"], payload["rng"]
+            start_epoch = int(payload["epoch"])
+            global_step = saved_step
+            if multihost.is_main_process():
+                print(f"[autoresume] restored step {global_step}, "
+                      f"resuming at epoch {start_epoch + 1}")
+
     # async_ckpt: true -> non-blocking step-indexed saves with retention
     if cf.get("async_ckpt", False):
         ckpt = AsyncCheckpointManager(
@@ -103,9 +129,19 @@ def main(args):
     warmup = cf.get("warmup_epochs", 10)
     val_interval, save_interval = cf["val_inter"], cf["save_inter"]
     num_epochs = cf["num_epochs"]
-    global_step = 0
 
-    for epoch in range(num_epochs):
+    # non-finite steps are skipped in-jit (gan_trainer guard); the
+    # strike counter aborts after N consecutive bad steps.  The skipped
+    # flags are polled lazily (flushed at log points) so the guard adds
+    # no extra per-step host sync on the ~32 ms-RTT tunnel.
+    strikes = StrikeCounter(max_strikes=cf.get("max_strikes", 10))
+    pending_skips: list = []
+
+    def flush_strikes():
+        while pending_skips:
+            strikes.update(float(pending_skips.pop(0)))
+
+    for epoch in range(start_epoch, num_epochs):
         adv_on = jnp.float32(1.0 if (epoch + 1) > warmup else 0.0)
         for step, batch in enumerate(train_loader):
             # local per-process rows -> one globally-sharded batch
@@ -114,13 +150,26 @@ def main(args):
             rng, step_rng = jax.random.split(rng)
             state, logs = trainer.train_step(
                 state, batch["image"], batch["label"], adv_on, step_rng)
-            if (multihost.is_main_process()
-                    and global_step % cf.get("log_every", 10) == 0):
-                logs = {k: float(v) for k, v in logs.items()}
-                exp.log_scalars(logs, global_step)
-                print(f"epoch {epoch + 1} step {step}: "
-                      + " ".join(f"{k}={v:.4f}" for k, v in logs.items()))
+            pending_skips.append(logs["skipped"])
             global_step += 1
+            if global_step % cf.get("log_every", 10) == 0:
+                flush_strikes()
+                if multihost.is_main_process():
+                    logs = {k: float(v) for k, v in logs.items()}
+                    exp.log_scalars(logs, global_step)
+                    print(f"epoch {epoch + 1} step {step}: "
+                          + " ".join(f"{k}={v:.4f}"
+                                     for k, v in logs.items()))
+            if auto is not None:
+                auto.maybe_save(global_step,
+                                {"gan": state, "epoch": epoch, "rng": rng})
+        flush_strikes()
+        if auto is not None:
+            # end-of-epoch snapshot: a crash mid-epoch N+1 resumes at
+            # the start of epoch N+1, never replaying a finished epoch
+            auto.maybe_save(global_step,
+                            {"gan": state, "epoch": epoch + 1, "rng": rng},
+                            force=True)
 
         do_val = (epoch + 1) % val_interval == 0 or epoch == num_epochs - 1
         do_save = (epoch + 1) % save_interval == 0 or epoch == num_epochs - 1
