@@ -108,7 +108,11 @@ def main(args):
     trainer = ClassifyTrainer(pipeline, lr=cf.get("lr", 1e-4),
                               grad_clip=cf.get("grad_clip", 1.0),
                               mixed_precision=cf.get("mixed_precision",
-                                                     "bf16"))
+                                                     "bf16"),
+                              # torch-law classifier init (same
+                              # convergence physics as g_init, see
+                              # classify_trainer.py)
+                              init=cf.get("cls_init", "torch"))
 
     img_sz = tuple(cf["img_sz"])
     dataset = train_loader.dataset

@@ -189,7 +189,12 @@ class TabularEmbedder(nn.Module):
         if num_unique > 0:
             offsets = jnp.asarray(
                 category_offsets(self.categories, self.num_special_tokens))
+            # N(0,1) mirrors torch nn.Embedding's default
+            # (corss_ft_transformer.py:205); flax's default
+            # variance-scaling draw is 1/sqrt(dim) NARROWER, which
+            # measurably shifts early stage-2 token statistics
             table = nn.Embed(num_unique + self.num_special_tokens, self.dim,
+                             embedding_init=nn.initializers.normal(1.0),
                              name="categorical_embeds")
             xs.append(table(x_categ.astype(jnp.int32) + offsets))
         if self.num_continuous > 0:

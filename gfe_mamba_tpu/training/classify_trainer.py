@@ -44,20 +44,35 @@ def _is_generator(path) -> bool:
 
 class ClassifyTrainer:
     def __init__(self, pipeline, *, lr: float = 1e-4, grad_clip: float = 1.0,
-                 mixed_precision: str = "bf16"):
+                 mixed_precision: str = "bf16", init: str = "torch"):
         self.pipeline = pipeline
         self.dtype = compute_dtype(mixed_precision)
         self.base_tx = adam_with_param_clip(lr, grad_clip)
         # stateless: built once, reusable for any param tree (restoring a
         # checkpoint does not require calling init_state first)
         self.tx = masked_trainable(self.base_tx, _is_generator)
+        # "torch" (default): re-draw Dense/Conv kernels+biases with the
+        # reference's init laws (utils/initializers.py) -- the same
+        # convergence physics GanTrainer(g_init="torch") fixed for
+        # Stage 1.  Mamba's custom-law params (dt_proj_kernel/_bias,
+        # A_log, D) are self.param leaves with non-kernel names, so the
+        # resampler never touches them.  "flax": lecun_normal/zeros.
+        if init not in ("torch", "flax"):
+            raise ValueError(f"init must be 'torch' or 'flax', "
+                             f"got {init!r}")
+        self.init = init
 
     def init_state(self, rng: Array, sample_mri: Array, sample_cat: Array,
                    sample_num: Array, *, generator_params: Any = None
                    ) -> ClassifyState:
         params = self.pipeline.init(rng, sample_mri, sample_cat, sample_num)
+        if self.init == "torch":
+            from gfe_mamba_tpu.utils.initializers import resample_torch_init
+            params = {**params, "params": resample_torch_init(
+                params["params"], jax.random.fold_in(rng, 3))}
         if generator_params is not None:
-            # splice in Stage-1 trained generator weights
+            # splice in Stage-1 trained generator weights (after the
+            # resample: the trained weights always win)
             params = {**params, "params": {
                 **params["params"], "generator": generator_params}}
         return ClassifyState(step=jnp.zeros((), jnp.int32), params=params,

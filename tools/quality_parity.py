@@ -634,6 +634,14 @@ def main():
                         help="device for the JAX side (the torch side is "
                              "always host CPU); tpu makes multi-seed runs "
                              "tractable at ~35 ms/dispatch")
+    parser.add_argument("--matmul-precision", default="highest",
+                        choices=["default", "high", "highest"],
+                        help="jax_default_matmul_precision for the JAX "
+                             "side.  On TPU, f32 matmuls/convs otherwise "
+                             "compute in bf16 while the torch-CPU "
+                             "reference computes true f32 -- 'highest' "
+                             "is the apples-to-apples setting (no-op on "
+                             "CPU)")
     parser.add_argument("--verbose", action="store_true")
     parser.add_argument("--reuse-torch", default=None, metavar="FROM.json",
                         help="skip the torch side and copy its per-seed "
@@ -645,6 +653,9 @@ def main():
     import jax
     if args.platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
+    if args.matmul_precision != "default":
+        jax.config.update("jax_default_matmul_precision",
+                          args.matmul_precision)
     jax.config.update("jax_compilation_cache_dir",
                       os.path.expanduser("~/.jax_cache"))
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
@@ -717,6 +728,8 @@ def main():
                    "epochs1": args.epochs1, "epochs2": args.epochs2,
                    "seeds": args.seeds, "n_test": args.n_test,
                    "gan": bool(args.gan), "hard": bool(HARD),
+                   "platform": args.platform,
+                   "matmul_precision": args.matmul_precision,
                    "warm_epochs": WARM_EPOCHS if args.gan else None,
                    "note": ("identical synthetic cohort; stage-1 "
                             + ("FULL GAN (LSGAN+warm-up+identical-weights "
