@@ -50,25 +50,41 @@ ADV_WEIGHT, PERC_WEIGHT = 0.01, 0.001
 LR_G, LR_D, LR_CLS = 1e-4, 5e-4, 1e-4
 
 
-def tabular(seed: int, n: int):
-    """Host-side labels + tabular columns (quality_parity cohort laws)."""
+def tabular(seed: int, n: int, hard: bool = False):
+    """Host-side labels + tabular columns (quality_parity cohort laws;
+    --hard strips ALL tabular signal: cat0 a pure coin flip, num0 pure
+    noise -- the classifier must read the imaging phenotype)."""
     rng = np.random.default_rng(seed)
     labels = np.concatenate([np.zeros(n // 2), np.ones(n - n // 2)])
     rng.shuffle(labels)
-    flip = rng.random(n) < 0.2
+    flip_p = 0.5 if hard else 0.2
+    num_scale = 0.0 if hard else 1.0
+    flip = rng.random(n) < flip_p
     cat0 = np.where(flip, 1 - labels, labels).astype(np.int64)
     cat1 = rng.integers(0, 3, n)
     x_cat = np.stack([cat0, cat1], 1).astype(np.int64)
-    num0 = (2 * labels - 1) + rng.normal(0, 0.9, n)
+    num0 = num_scale * (2 * labels - 1) + rng.normal(0, 0.9, n)
     x_num = np.stack([num0] + [rng.normal(0, 1, n) for _ in range(3)],
                      1).astype(np.float32)
     return labels.astype(np.float32), x_cat, x_num
 
 
-def make_synth(shape, seed: int):
-    """Jitted on-device cohort synthesis: (idxs, labels) -> (mri, pet)."""
+def make_synth(shape, seed: int, hard: bool = False):
+    """Jitted on-device cohort synthesis: (idxs, labels) -> (mri, pet).
+
+    --hard mirrors quality_parity.make_cohort's sub-ceiling knobs: the
+    imaging contrast sits near the noise floor AND 15% of subjects
+    express the OPPOSITE phenotype (irreducible label noise pinning
+    Bayes accuracy at ~0.85), so converged metrics land mid-0.8s --
+    regression-sensitive instead of saturated at 1.0 (VERDICT r3 #5).
+    """
     import jax
     import jax.numpy as jnp
+
+    img_gap = 0.10 if hard else 0.40     # bright-blob contrast
+    vent_gap = 0.5 if hard else 2.0      # ventricle radius delta
+    noise = 0.35 if hard else 0.16
+    express_p = 0.15 if hard else 0.0    # P(opposite imaging phenotype)
 
     sx, sy, sz = (shape[0] / 32.0, shape[1] / 32.0, shape[2] / 16.0)
     xs = jnp.arange(shape[0], dtype=jnp.float32)[:, None, None]
@@ -81,13 +97,17 @@ def make_synth(shape, seed: int):
                           + (zs - cz * sz) ** 2) / (2.0 * (r * sx) ** 2)))
 
     def one(idx, label):
-        bright = 0.95 - 0.40 * label
-        vent = 2.5 + 2.0 * label
         key = jax.random.fold_in(base, idx)
+        kn, ke = jax.random.split(key)
+        eflip = (jax.random.uniform(ke, ()) < express_p) \
+            .astype(jnp.float32)
+        phen = eflip * (1.0 - label) + (1.0 - eflip) * label
+        bright = 0.95 - img_gap * phen
+        vent = 2.5 + vent_gap * phen
         vol = (0.30 * blob(10.0, 16.0, 8.0, 6.0)
                + bright * blob(22.0, 16.0, 8.0, 5.0)
                - 0.8 * blob(16.0, 10.0, 8.0, vent)
-               + 0.16 * jax.random.normal(key, shape, jnp.float32))
+               + noise * jax.random.normal(kn, shape, jnp.float32))
         mri = jnp.clip(vol, -1.0, 1.0)
         pet = mri
         for ax in range(3):
@@ -114,6 +134,11 @@ def main():
     parser.add_argument("--warm-epochs", type=int, default=3)
     parser.add_argument("--smoke", action="store_true",
                         help="tiny geometry + 1 epoch (CPU-runnable)")
+    parser.add_argument("--hard", action="store_true",
+                        help="sub-ceiling cohort (no tabular signal, "
+                             "near-noise-floor contrast, 15%% opposite-"
+                             "phenotype label noise): metrics land mid-"
+                             "0.8s instead of saturating at 1.0")
     parser.add_argument("--verbose", action="store_true")
     args = parser.parse_args()
 
@@ -154,8 +179,8 @@ def main():
     print(f"platform={platform} shape={SHAPE}", flush=True)
 
     n = args.n_train + args.n_test
-    labels, x_cat, x_num = tabular(args.seed, n)
-    synth = make_synth(SHAPE, args.seed)
+    labels, x_cat, x_num = tabular(args.seed, n, hard=args.hard)
+    synth = make_synth(SHAPE, args.seed, hard=args.hard)
     lab_dev = jnp.asarray(labels)
     rng_np = np.random.default_rng(1000 + args.seed)
 
@@ -172,7 +197,8 @@ def main():
                          "warm_epochs": args.warm_epochs,
                          "batch1": b1, "batch2": b2,
                          "mixed_precision": "bf16",
-                         "platform": platform, "seed": args.seed},
+                         "platform": platform, "seed": args.seed,
+                         "hard": bool(args.hard)},
               "stage1_l1": [], "stage2_bce": []}
 
     # ---- Stage 1: full GAN game at canonical config ----
@@ -249,9 +275,13 @@ def main():
                          metrics_from_preds(
                              preds, labels[args.n_train:
                                            args.n_train + n_eval]).items()}
-    report["note"] = ("canonical-geometry two-stage training on "
-                      "device-synthesized cohort; compare metrics against "
-                      "the small-geometry QUALITY_r03.json runs")
+    report["note"] = (
+        "canonical-geometry two-stage training on device-synthesized "
+        "cohort; compare metrics against the small-geometry QUALITY "
+        "artifacts" + (" -- --hard pins Bayes accuracy ~0.85, so a "
+                       "quality regression moves these numbers instead "
+                       "of hiding under a 1.0 ceiling" if args.hard
+                       else ""))
     with open(args.out, "w") as f:
         json.dump(report, f, indent=1)
     print(json.dumps(report["metrics"]), flush=True)
