@@ -66,12 +66,13 @@ def _apply_act(y: Array, act: str) -> Array:
 # Split staging (round 3): dot the dense center 2C block of the K
 # layout straight from the input slab (z offset 1) and stage only the
 # two C-wide edge slices -- halves the per-tile staging-store traffic
-# vs building the full 4C operand (~8 ms/full-res unit measured).
-# Default False until a real-Mosaic A/B confirms the sublane-offset
-# dot operand compiles AND wins (tools/ab_split_staging.py); interpret
-# mode cannot validate Mosaic layout constraints, and an unverified
-# default would turn a rejection into a driver-bench compile crash.
-_SPLIT_STAGING = False
+# vs building the full 4C operand.  Round-4 on-chip A/B
+# (tools/ab_split_staging.py, b4 full-res): split 23.34 ms/unit
+# (47.3% dense peak) vs full-4C 25.78 ms (42.8%) -- Mosaic accepts the
+# sublane-offset center operand and the split layout wins by 10.5%;
+# numeric parity with the XLA reference verified on-chip for
+# elu / residual+leaky / ragged-tile shapes.
+_SPLIT_STAGING = True
 
 
 def _kernel(w_ref, b_ref, x_ref, *rest, XT, YT,
@@ -355,11 +356,16 @@ def _vmem_estimate(x_shape, w_shape, xt=4, yt=16, itemsize=2):
     zp = -(-(zh + 2) // 8) * 8
     it = itemsize
     stage_c = 2 * C if _SPLIT_STAGING else 4 * C
+    # out and w count DOUBLE: Mosaic pipelines the output block and
+    # keeps revolving copies of VMEM in_specs blocks -- measured on the
+    # f32 full-res unit, the stack allocation runs ~2.9 MB over the
+    # single-copy estimate (16.09M actual vs 13.16M estimated at
+    # (4,16)), blowing the 16M scoped-vmem limit.
     return (2 * (xt + 2) * (yt + 2) * zp * 2 * C * it      # in_buf x2
             + (xt + 2) * (yt + 2) * zh * stage_c * it      # edge/a4 stage
             + xt * yt * zh * 2 * F * 4                     # acc
-            + xt * yt * zh * 2 * F * it                    # out
-            + 9 * 4 * C * 2 * F * it)                      # w
+            + 2 * xt * yt * zh * 2 * F * it                # out (pipelined)
+            + 2 * 9 * 4 * C * 2 * F * it)                  # w (revolving)
 
 
 def _fwd(x, w, bias, pre_scale, pre_shift, act):
