@@ -30,6 +30,9 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from flax.linen.dtypes import promote_dtype
+
+from gfe_mamba_tpu.ops.conv4 import can_use_s2d, conv_k4s2_s2d
 
 Array = jax.Array
 
@@ -39,6 +42,30 @@ def _dcgan_norm_scale(key, shape, dtype=jnp.float32):
     return 1.0 + 0.02 * jax.random.normal(key, shape, dtype)
 
 
+class _S2DConv(nn.Module):
+    """k4 s2 pad(1,1) conv evaluated via ops.conv4.conv_k4s2_s2d.
+
+    Param tree ("kernel"/"bias", HWDIO shape) and init stream are
+    byte-identical to the ``nn.Conv`` it replaces, so checkpoints and
+    drawn initializations are unchanged -- only the lowering differs.
+    """
+
+    features: int
+    use_bias: bool = True
+    kernel_init: nn.initializers.Initializer = \
+        nn.initializers.lecun_normal()
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        C = x.shape[-1]
+        w = self.param("kernel", self.kernel_init,
+                       (4, 4, 4, C, self.features))
+        b = (self.param("bias", nn.initializers.zeros, (self.features,))
+             if self.use_bias else None)
+        x, w, b = promote_dtype(x, w, b, dtype=None)
+        return conv_k4s2_s2d(x, w, b)
+
+
 class PatchDiscriminator(nn.Module):
     num_layers_d: int = 3
     num_channels: int = 32
@@ -46,6 +73,11 @@ class PatchDiscriminator(nn.Module):
     kernel_size: int = 4
     dims: int = 3
     dcgan_init: bool = True
+    # Lower the stride-2 convs via space-to-depth (ops/conv4.py):
+    # numerically identical, same param tree; falls back to nn.Conv
+    # per-layer when the geometry isn't the canonical even/pad-(1,1)
+    # case.  Default off until the on-chip Stage-1 A/B.
+    s2d: bool = False
 
     @staticmethod
     def _padding(x: Array, kernel: int) -> list[tuple[int, int]]:
@@ -72,18 +104,25 @@ class PatchDiscriminator(nn.Module):
             conv_kw["kernel_init"] = nn.initializers.normal(0.02)
             norm_kw["scale_init"] = _dcgan_norm_scale
 
+        def conv_s2(x, ch, name, use_bias=True):
+            pad = self._padding(x, self.kernel_size)
+            if (self.s2d and self.dims == 3
+                    and can_use_s2d(x.shape, self.kernel_size, s2, pad)):
+                ki = conv_kw.get("kernel_init",
+                                 nn.initializers.lecun_normal())
+                return _S2DConv(ch, use_bias=use_bias, kernel_init=ki,
+                                name=name)(x)
+            return nn.Conv(ch, k, strides=s2, padding=pad,
+                           use_bias=use_bias, name=name, **conv_kw)(x)
+
         ch = self.num_channels
-        x = nn.Conv(ch, k, strides=s2,
-                    padding=self._padding(x, self.kernel_size),
-                    name="conv_0", **conv_kw)(x)
+        x = conv_s2(x, ch, "conv_0")
         x = jax.nn.leaky_relu(x, 0.2)
         features.append(x)
 
         for i in range(1, self.num_layers_d):
             ch *= 2
-            x = nn.Conv(ch, k, strides=s2,
-                        padding=self._padding(x, self.kernel_size),
-                        use_bias=False, name=f"conv_{i}", **conv_kw)(x)
+            x = conv_s2(x, ch, f"conv_{i}", use_bias=False)
             x = nn.GroupNorm(num_groups=None, group_size=1,
                              name=f"norm_{i}", **norm_kw)(x)
             x = jax.nn.leaky_relu(x, 0.2)
