@@ -128,6 +128,11 @@ def main():
     parser.add_argument("--out", default="CANONICAL_r03.json")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--n-train", type=int, default=96)
+    parser.add_argument("--n-val", type=int, default=64,
+                        help="held-out subjects for best-checkpoint "
+                             "selection (classify_mamba's best-ckpt-by-"
+                             "val semantics, SURVEY 2.2); 0 disables")
+    parser.add_argument("--val-every", type=int, default=2)
     parser.add_argument("--n-test", type=int, default=192)
     parser.add_argument("--epochs1", type=int, default=10)
     parser.add_argument("--epochs2", type=int, default=25)
@@ -166,6 +171,7 @@ def main():
                           vit_patch_size=4, vit_dim=64, vit_depth=2,
                           vit_heads=2, vit_mlp_dim=128)
         args.n_train, args.n_test = 8, 8
+        args.n_val, args.val_every = 4, 1
         args.epochs1 = args.epochs2 = 1
         args.warm_epochs = 0
         cls_kwargs = dict(dim=64, depth=2, heads=4,
@@ -178,7 +184,7 @@ def main():
     platform = jax.devices()[0].platform
     print(f"platform={platform} shape={SHAPE}", flush=True)
 
-    n = args.n_train + args.n_test
+    n = args.n_train + args.n_val + args.n_test
     labels, x_cat, x_num = tabular(args.seed, n, hard=args.hard)
     synth = make_synth(SHAPE, args.seed, hard=args.hard)
     lab_dev = jnp.asarray(labels)
@@ -192,7 +198,9 @@ def main():
     report = {"config": {"shape": list(SHAPE), "f_maps": list(F_MAPS),
                          "dim": DIM, "depth": DEPTH, "heads": HEADS,
                          "seq_length": SEQ_LENGTH,
-                         "n_train": args.n_train, "n_test": args.n_test,
+                         "n_train": args.n_train, "n_val": args.n_val,
+                         "val_every": args.val_every,
+                         "n_test": args.n_test,
                          "epochs1": args.epochs1, "epochs2": args.epochs2,
                          "warm_epochs": args.warm_epochs,
                          "batch1": b1, "batch2": b2,
@@ -240,6 +248,26 @@ def main():
     state2 = trainer2.init_state(sub, smri, jnp.asarray(x_cat[:b2]),
                                  jnp.asarray(x_num[:b2]),
                                  generator_params=g_params)
+    def eval_range(params, start, count):
+        """Predictions over subjects [start, start+count) (b2 batches)."""
+        preds = []
+        for i in range(start, start + count - b2 + 1, b2):
+            idx = jnp.arange(i, i + b2)
+            mri, _ = synth(idx, lab_dev[idx])
+            probs, _, _ = trainer2.eval_step(
+                params, mri, jnp.asarray(x_cat[i:i + b2]),
+                jnp.asarray(x_num[i:i + b2]),
+                jnp.asarray(labels[i:i + b2]))
+            preds.append(np.asarray(probs) >= 0.5)
+        preds = np.concatenate(preds)
+        return preds, labels[start:start + len(preds)]
+
+    # best-checkpoint-by-val selection: the real Stage-2 pipeline keeps
+    # a best ckpt by val metric (classify_mamba.py; reference
+    # classify_mamba.py saves best_model.pth) -- a late-epoch memorized
+    # model must not overwrite an earlier generalizing one here either.
+    best = {"mcc": -2.0, "epoch": -1, "params": None}
+    report["val_mcc"] = []
     t0 = time.time()
     for epoch in range(args.epochs2):
         losses = []
@@ -253,35 +281,42 @@ def main():
                 jnp.asarray(labels[hidx]), sub)
             losses.append(float(logs["cla_loss"]))
         report["stage2_bce"].append(round(float(np.mean(losses)), 5))
-        print(f"stage2 epoch {epoch + 1}/{args.epochs2}: "
-              f"bce={np.mean(losses):.4f} ({time.time() - t0:.0f}s)",
-              flush=True)
+        msg = (f"stage2 epoch {epoch + 1}/{args.epochs2}: "
+               f"bce={np.mean(losses):.4f}")
+        if args.n_val and ((epoch + 1) % args.val_every == 0
+                           or epoch + 1 == args.epochs2):
+            vp, vl = eval_range(state2.params, args.n_train, args.n_val)
+            vmcc = metrics_from_preds(vp, vl)["mcc"]
+            report["val_mcc"].append([epoch + 1, round(vmcc, 4)])
+            msg += f" val_mcc={vmcc:+.3f}"
+            if vmcc > best["mcc"]:
+                best = {"mcc": vmcc, "epoch": epoch + 1,
+                        "params": jax.device_get(state2.params)}
+        print(f"{msg} ({time.time() - t0:.0f}s)", flush=True)
     report["stage2_seconds"] = round(time.time() - t0, 1)
 
     # ---- Eval on held-out subjects ----
     t0 = time.time()
-    preds = []
-    for i in range(args.n_train, n - b2 + 1, b2):
-        idx = jnp.arange(i, i + b2)
-        mri, _ = synth(idx, lab_dev[idx])
-        probs, _, _ = trainer2.eval_step(
-            state2.params, mri, jnp.asarray(x_cat[i:i + b2]),
-            jnp.asarray(x_num[i:i + b2]), jnp.asarray(labels[i:i + b2]))
-        preds.append(np.asarray(probs) >= 0.5)
-    preds = np.concatenate(preds)
-    n_eval = len(preds)
-    report["eval_seconds"] = round(time.time() - t0, 1)
+    test_at = args.n_train + args.n_val
+    preds, lab_eval = eval_range(state2.params, test_at, args.n_test)
+    report["final_metrics"] = {
+        k: round(v, 4) for k, v in
+        metrics_from_preds(preds, lab_eval).items()}
+    if best["params"] is not None:
+        preds, lab_eval = eval_range(
+            jax.device_put(best["params"]), test_at, args.n_test)
+        report["best_val_epoch"] = best["epoch"]
     report["metrics"] = {k: round(v, 4) for k, v in
-                         metrics_from_preds(
-                             preds, labels[args.n_train:
-                                           args.n_train + n_eval]).items()}
+                         metrics_from_preds(preds, lab_eval).items()}
+    report["eval_seconds"] = round(time.time() - t0, 1)
     report["note"] = (
         "canonical-geometry two-stage training on device-synthesized "
-        "cohort; compare metrics against the small-geometry QUALITY "
-        "artifacts" + (" -- --hard pins Bayes accuracy ~0.85, so a "
-                       "quality regression moves these numbers instead "
-                       "of hiding under a 1.0 ceiling" if args.hard
-                       else ""))
+        "cohort; metrics = test metrics of the best-val checkpoint "
+        "(classify_mamba best-ckpt semantics), final_metrics = last "
+        "epoch; compare against the small-geometry QUALITY artifacts"
+        + (" -- --hard pins Bayes accuracy ~0.85, so a quality "
+           "regression moves these numbers instead of hiding under a "
+           "1.0 ceiling" if args.hard else ""))
     with open(args.out, "w") as f:
         json.dump(report, f, indent=1)
     print(json.dumps(report["metrics"]), flush=True)
