@@ -21,7 +21,10 @@ jax.config.update("jax_platforms", "cpu")
 
 jax.config.update("jax_default_matmul_precision", "highest")
 # Persistent compile cache: XLA:CPU compiles are several seconds each in
-# this environment; cache them across test processes.
-jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+# this environment; cache them across test processes.  GFE_JAX_CACHE
+# lets a suite run point at a private copy -- concurrent cache WRITES
+# from a TPU job in another process have segfaulted the writer.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("GFE_JAX_CACHE", "/root/.jax_cache"))
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
