@@ -27,4 +27,9 @@ jax.config.update("jax_default_matmul_precision", "highest")
 jax.config.update("jax_compilation_cache_dir",
                   os.environ.get("GFE_JAX_CACHE", "/root/.jax_cache"))
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+# GFE_CACHE_READONLY=1: reuse cached executables but never write new
+# entries -- this jaxlib's CPU AOT serializer has segfaulted twice
+# mid-write under load (stack: compilation_cache.put_executable_and_time),
+# taking the whole suite run down with it.
+jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                  1e18 if os.environ.get("GFE_CACHE_READONLY") else 0)
