@@ -502,6 +502,61 @@ def _reference_impl_p(xv, w, bias, pre_scale, pre_shift, residual, act,
     return _apply_act(y, post_act).astype(xv.dtype)
 
 
+# Lower the 1-channel stem conv (enc1's conv2: the only packed call
+# with C2 == 2) as an im2col dot instead of lax.conv: XLA's TPU conv
+# at C_in=1 is lane-starved (1 live MXU lane of 128) and picks hostile
+# layouts for the full-res output.  Flag for on-chip A/B.
+_STEM_IM2COL = True
+
+
+def _stem_impl_p(xv, w, bias, pre_scale, pre_shift, residual, act,
+                 post_act):
+    """Packed im2col stem: C_in=1 3x3x3 conv as one lane-dense dot.
+
+    Patches: 27 shifted (dx, dy, dpair) slices of the z-pair-packed
+    input concatenated on the lane dim -> (B, X, Y, P, 54); each slice
+    carries both z-slots of pair p+dp-1, so the 54 lanes cover fine-z
+    offsets {2p-2..2p+3} -- a superset of the three taps either output
+    slot needs.  The (54, 2F) weight matrix scatters w[dx,dy,dz] to the
+    (row=(dx,dy,dp,slot), col=(slot',co)) positions that realize
+    z_out + dz - 1 = 2*(p + dp - 1) + slot, writing the packed
+    (B, X, Y, P, 2F) output directly (no (..., Z, F) lane-pad stop).
+    K pads 54->128 on the MXU (2.4x on ~1/64 of a 64->64 unit's FLOPs
+    -- noise) and the patch buffer is the only extra HBM traffic."""
+    B, X, Y, P, C2 = xv.shape
+    F = w.shape[-1]
+    if pre_scale is not None:
+        xv = xv * jnp.tile(pre_scale, (1, 2))[
+            :, None, None, None, :].astype(xv.dtype)
+    if pre_shift is not None:
+        xv = xv + jnp.tile(pre_shift, (1, 2))[
+            :, None, None, None, :].astype(xv.dtype)
+    xp = jnp.pad(xv, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+    cols = jnp.concatenate(
+        [xp[:, dx:dx + X, dy:dy + Y, dp:dp + P, :]
+         for dx in range(3) for dy in range(3) for dp in range(3)], -1)
+    wdt = w.astype(xv.dtype)
+    wm = jnp.zeros((27 * C2, 2 * F), xv.dtype)
+    for dx in range(3):
+        for dy in range(3):
+            for dz in range(3):
+                # even slot (z = 2p): tap z+dz-1 = 2(p+dp-1)+slot
+                dp, slot = divmod(dz - 1 + 2, 2)       # offsets vs p-1
+                row = ((dx * 3 + dy) * 3 + dp) * 2 + slot
+                wm = wm.at[row, :F].set(wdt[dx, dy, dz, 0])
+                # odd slot (z = 2p+1): tap z+dz = 2(p+dp-1)+slot
+                dp, slot = divmod(dz + 2, 2)
+                row = ((dx * 3 + dy) * 3 + dp) * 2 + slot
+                wm = wm.at[row, F:].set(wdt[dx, dy, dz, 0])
+    y = jax.lax.dot_general(cols, wm, (((4,), (0,)), ((), ())))
+    if bias is not None:
+        y = y + jnp.tile(bias, 2).astype(y.dtype)
+    y = _apply_act(y, act)
+    if residual is not None:
+        y = y + residual.astype(y.dtype)
+    return _apply_act(y, post_act).astype(xv.dtype)
+
+
 def _dispatch_p(xv, w, bias, pre_scale, pre_shift, residual, act, post_act):
     platform = jax.devices()[0].platform
     B, X, Y, ZH, C2 = xv.shape
@@ -512,6 +567,10 @@ def _dispatch_p(xv, w, bias, pre_scale, pre_shift, residual, act, post_act):
         return _conv3x3x3_fused_p(xv, w, bias, pre_scale, pre_shift,
                                   residual, act=act, post_act=post_act,
                                   xt=tiles[0], yt=tiles[1])
+    if (_STEM_IM2COL and C2 == 2
+            and platform in ("tpu", "axon")):
+        return _stem_impl_p(xv, w, bias, pre_scale, pre_shift, residual,
+                            act, post_act)
     return _reference_impl_p(xv, w, bias, pre_scale, pre_shift, residual,
                              act, post_act)
 
