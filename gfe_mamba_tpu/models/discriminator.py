@@ -108,6 +108,15 @@ class PatchDiscriminator(nn.Module):
             pad = self._padding(x, self.kernel_size)
             if (self.s2d and self.dims == 3
                     and can_use_s2d(x.shape, self.kernel_size, s2, pad)):
+                # _S2DConv only understands kernel_init; fail loudly if
+                # conv_kw ever grows a key it would silently drop (it
+                # must stay interchangeable with the nn.Conv path).
+                extra = set(conv_kw) - {"kernel_init"}
+                if extra:
+                    raise NotImplementedError(
+                        f"_S2DConv path does not forward conv_kw keys "
+                        f"{sorted(extra)}; extend _S2DConv or set "
+                        f"s2d=False")
                 ki = conv_kw.get("kernel_init",
                                  nn.initializers.lecun_normal())
                 return _S2DConv(ch, use_bias=use_bias, kernel_init=ki,

@@ -138,10 +138,9 @@ def main():
     print(f"platform={jax.devices()[0].platform} img={img} batch={B}")
     results = {}
     for name, trainer, disc in (("xla", tr_a, disc_a), ("s2d", tr_b, disc_b)):
-        if True:
-            dms = slope(make_dstep(disc), args.iters)
-            print(f"[{name}] D fwd+bwd      {dms:8.1f} ms/step")
-            results[f"{name}_d_ms"] = dms
+        dms = slope(make_dstep(disc), args.iters)
+        print(f"[{name}] D fwd+bwd      {dms:8.1f} ms/step")
+        results[f"{name}_d_ms"] = dms
         ms = slope(make_step(trainer), args.iters)
         print(f"[{name}] full train step {ms:8.1f} ms/step "
               f"({B / ms * 1e3:.2f} vol/s)")

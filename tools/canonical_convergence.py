@@ -250,6 +250,14 @@ def main():
                                  generator_params=g_params)
     def eval_range(params, start, count):
         """Predictions over subjects [start, start+count) (b2 batches)."""
+        if count < b2:
+            raise ValueError(
+                f"eval_range needs at least one batch: count={count} < "
+                f"batch2={b2} (raise --n-val/--n-test or lower --batch2)")
+        if count % b2:
+            print(f"eval_range: dropping {count % b2} trailing subjects "
+                  f"(count={count} not divisible by batch2={b2})",
+                  flush=True)
         preds = []
         for i in range(start, start + count - b2 + 1, b2):
             idx = jnp.arange(i, i + b2)
@@ -302,18 +310,25 @@ def main():
     report["final_metrics"] = {
         k: round(v, 4) for k, v in
         metrics_from_preds(preds, lab_eval).items()}
+    # 'metrics' keeps its legacy CANONICAL_r03-era meaning (last-epoch
+    # test metrics); best-val-checkpoint results live under their own
+    # key so artifacts stay comparable across rounds (schema 2).
+    report["schema"] = 2
+    report["metrics"] = dict(report["final_metrics"])
     if best["params"] is not None:
         preds, lab_eval = eval_range(
             jax.device_put(best["params"]), test_at, args.n_test)
         report["best_val_epoch"] = best["epoch"]
-    report["metrics"] = {k: round(v, 4) for k, v in
-                         metrics_from_preds(preds, lab_eval).items()}
+        report["best_ckpt_metrics"] = {
+            k: round(v, 4) for k, v in
+            metrics_from_preds(preds, lab_eval).items()}
     report["eval_seconds"] = round(time.time() - t0, 1)
     report["note"] = (
         "canonical-geometry two-stage training on device-synthesized "
-        "cohort; metrics = test metrics of the best-val checkpoint "
-        "(classify_mamba best-ckpt semantics), final_metrics = last "
-        "epoch; compare against the small-geometry QUALITY artifacts"
+        "cohort; metrics/final_metrics = last-epoch test metrics "
+        "(legacy meaning), best_ckpt_metrics = test metrics of the "
+        "best-val checkpoint (classify_mamba best-ckpt semantics); "
+        "compare against the small-geometry QUALITY artifacts"
         + (" -- --hard pins Bayes accuracy ~0.85, so a quality "
            "regression moves these numbers instead of hiding under a "
            "1.0 ceiling" if args.hard else ""))
