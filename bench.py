@@ -77,8 +77,11 @@ def build(small: bool):
                                 depth=6, heads=8, seq_length=4,
                                 f_maps=(64, 128, 256))
         # batch sweep (round 2): b2 10.4, b4 12.0, b6 11.7 vol/s; the
-        # round-1 batch-4 remote-compile crash is gone
-        img_sz, n_cont, batch = (160, 160, 96), 40, 4
+        # round-1 batch-4 remote-compile crash is gone.  GFE_BENCH_BATCH
+        # overrides for re-sweeps (the packed flow changed the memory
+        # profile since the round-2 sweep).
+        img_sz, n_cont = (160, 160, 96), 40
+        batch = int(os.environ.get("GFE_BENCH_BATCH", "4"))
 
     params = model.init(
         jax.random.key(0),

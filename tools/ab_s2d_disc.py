@@ -88,10 +88,13 @@ def main():
             ts[name] = (time.perf_counter() - t0) / iters
         return (ts["hi"] - ts["lo"]) / args.k * 1e3
 
+    # State/params MUST be jit arguments, not closure captures: closed-over
+    # device arrays embed as HLO constants and the axon remote-compile
+    # helper uploads them inside the HLO (PERF_NOTES "Probe gotcha").
     def make_step(trainer):
         def make(kk):
             @jax.jit
-            def fn(salt):
+            def fn(st0, salt):
                 def body(carry, i):
                     st, r = carry
                     r, r1, r2, r3 = jax.random.split(r, 4)
@@ -102,17 +105,15 @@ def main():
                     return (st, r), logs["g_loss"]
                 k0 = jax.random.fold_in(jax.random.key(1), salt.astype(jnp.int32))
                 (_, _), losses = jax.lax.scan(
-                    body, (state, k0), jnp.arange(kk))
+                    body, (st0, k0), jnp.arange(kk))
                 return losses[-1]
-            return lambda s: fn(jnp.float32(s))
+            return lambda s: fn(state, jnp.float32(s))
         return make
 
     def make_dstep(disc):
-        d_params = state.d_params
-
         def make(kk):
             @jax.jit
-            def fn(salt):
+            def fn(d_params, salt):
                 k0 = jax.random.fold_in(jax.random.key(2),
                                         salt.astype(jnp.int32))
 
@@ -132,7 +133,7 @@ def main():
                 (_, _), ls = jax.lax.scan(body, (d_params, k0),
                                           jnp.arange(kk))
                 return ls[-1]
-            return lambda s: fn(jnp.float32(s))
+            return lambda s: fn(state.d_params, jnp.float32(s))
         return make
 
     print(f"platform={jax.devices()[0].platform} img={img} batch={B}")

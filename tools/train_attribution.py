@@ -79,10 +79,15 @@ def main():
         assert all(np.isfinite(v) for v in vals)
         return dt
 
-    def slope(make):
+    def slope(make, *ops):
+        # Params/state MUST be jit arguments, not closure captures:
+        # closed-over device arrays embed as HLO constants and the axon
+        # remote-compile helper uploads them inside the HLO (the 420 MB
+        # ViT patchify weight stalls compilation 10+ min — PERF_NOTES
+        # "Probe gotcha for posterity").
         k_lo, k_hi = 1, args.k
-        t_lo = timed(make(k_lo), mri, pet)
-        t_hi = timed(make(k_hi), mri, pet)
+        t_lo = timed(make(k_lo), *ops, mri, pet)
+        t_hi = timed(make(k_hi), *ops, mri, pet)
         return (t_hi - t_lo) / (k_hi - k_lo)
 
     rows = []
@@ -96,7 +101,7 @@ def main():
 
     def make_gfwd(kk):
         @jax.jit
-        def fn(mri, pet, s):
+        def fn(gp, mri, pet, s):
             y = mri
             for i in range(kk):
                 r = trainer.generator.apply(
@@ -108,12 +113,12 @@ def main():
                 y = r.astype(jnp.float32) * 0.25 + mri * s
             return jnp.sum(y)
         return fn
-    report("G fwd", slope(make_gfwd))
+    report("G fwd", slope(make_gfwd, gp))
 
     # --- G fwd+bwd (full generator loss incl. D fwd + perceptual) ---
     def make_gstep(kk):
         @jax.jit
-        def fn(mri, pet, s):
+        def fn(gp, dp, mri, pet, s):
             acc = 0.0
             y = mri
             for i in range(kk):
@@ -123,12 +128,17 @@ def main():
                                             jax.random.fold_in(key, i))
                     return lg
                 l, g = jax.value_and_grad(loss)(gp["params"])
-                acc += l
                 leaf = jax.tree_util.tree_leaves(g)[0]
-                y = mri + jnp.mean(leaf) * s * 0.0
+                # barrier BOTH carries: without it XLA fuses the bwd's
+                # reversed-input conv across chain links and the TPU
+                # fusion emitter crashes on the resulting negative
+                # pad_low window (barriering y alone is not enough —
+                # the acc chain re-opens the fusion)
+                acc, y = jax.lax.optimization_barrier(
+                    (acc + l, mri + jnp.mean(leaf) * s * 0.0))
             return acc * s
         return fn
-    report("G loss fwd+bwd (w/ D fwd)", slope(make_gstep))
+    report("G loss fwd+bwd (w/ D fwd)", slope(make_gstep, gp, dp))
 
     # --- perceptual alone ---
     def make_perc(kk):
@@ -146,7 +156,7 @@ def main():
     # --- D forward ---
     def make_dfwd(kk):
         @jax.jit
-        def fn(mri, pet, s):
+        def fn(dp, mri, pet, s):
             acc = 0.0
             y = pet
             for i in range(kk):
@@ -155,12 +165,12 @@ def main():
                 y = pet * (1.0 + acc * 0.0) + i * 0.0
             return acc * s
         return fn
-    report("D fwd", slope(make_dfwd))
+    report("D fwd", slope(make_dfwd, dp))
 
     # --- D fwd+bwd (fake + real, the _d_loss shape) ---
     def make_dstep(kk):
         @jax.jit
-        def fn(mri, pet, s):
+        def fn(dp, mri, pet, s):
             acc = 0.0
             for i in range(kk):
                 def loss(p, i=i):
@@ -171,12 +181,12 @@ def main():
                 acc += l + jnp.mean(jax.tree_util.tree_leaves(g)[0])
             return acc * s
         return fn
-    report("D loss fwd+bwd (fake+real)", slope(make_dstep))
+    report("D loss fwd+bwd (fake+real)", slope(make_dstep, dp))
 
     # --- full train_step (scan-chained) ---
     def make_full(kk):
         @jax.jit
-        def fn(mri, pet, s):
+        def fn(state, mri, pet, s):
             def body(st, i):
                 st, logs = trainer.train_step.__wrapped__(
                     trainer, st, mri, pet, adv_on,
@@ -186,7 +196,7 @@ def main():
             return jnp.sum(l1s) * s
         return fn
     try:
-        report("full train_step", slope(make_full))
+        report("full train_step", slope(make_full, state))
     except Exception as e:  # scan-chaining a donated step can refuse
         print(f"full train_step chain failed ({type(e).__name__}); "
               f"falling back to repeated dispatch timing", flush=True)
