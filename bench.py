@@ -79,7 +79,11 @@ def build(small: bool):
         # batch sweep (round 2): b2 10.4, b4 12.0, b6 11.7 vol/s; the
         # round-1 batch-4 remote-compile crash is gone.  GFE_BENCH_BATCH
         # overrides for re-sweeps (the packed flow changed the memory
-        # profile since the round-2 sweep).
+        # profile since the round-2 sweep).  WARNING (round 5): a FRESH
+        # b6 compile of the packed-flow pipeline wedges the tunnel's
+        # remote-compile helper (same failure class as the round-1 b4
+        # crash) -- only re-sweep b>4 when prepared to lose the tunnel
+        # for ~1 h.
         img_sz, n_cont = (160, 160, 96), 40
         batch = int(os.environ.get("GFE_BENCH_BATCH", "4"))
 

@@ -135,8 +135,17 @@ def _kernel(w_ref, b_ref, x_ref, *rest, XT, YT,
         # center 2C rows (K slots 1-2, dense) read straight from the
         # slab; only the two C-wide edge slices (slots 0 and 3) are
         # staged.  w_ref rows: [0:2C) center, [2C:4C) edges.
-        a4_buf[:, :, :, 0:C] = slab[:, :, 0:ZH, C:2 * C]
-        a4_buf[:, :, :, C:2 * C] = slab[:, :, 2:ZH + 2, 0:C]
+        if split == "aligned":
+            # lane-ALIGNED staging: each edge store keeps its source
+            # lane offset (slot 3 lives in lanes [0,C) both in the slab
+            # and in a4_buf; slot 0 in [C,2C)) so Mosaic emits plain
+            # sublane-shifted copies with no cross-lane rotate.  The
+            # matching weight rows are swapped in _pack_weights.
+            a4_buf[:, :, :, 0:C] = slab[:, :, 2:ZH + 2, 0:C]
+            a4_buf[:, :, :, C:2 * C] = slab[:, :, 0:ZH, C:2 * C]
+        else:
+            a4_buf[:, :, :, 0:C] = slab[:, :, 0:ZH, C:2 * C]
+            a4_buf[:, :, :, C:2 * C] = slab[:, :, 2:ZH + 2, 0:C]
         for dx in range(3):
             for dy in range(3):
                 w9 = w_ref[dx * 3 + dy]
@@ -176,14 +185,18 @@ def _pack_weights(w, dtype, split=_SPLIT_STAGING):
     s = h + dz - 1 + 1 = h + dz (s in 0..3).  With ``split`` the slot
     rows are reordered [1, 2, 0, 3] so the dense center block (slots
     1-2) occupies K rows [0, 2C) and the two half-zero edge slots the
-    rows [2C, 4C) -- matching the kernel's slab-direct center dot."""
+    rows [2C, 4C) -- matching the kernel's slab-direct center dot.
+    With ``split == "aligned"`` the edge slots swap to [1, 2, 3, 0],
+    matching the kernel's lane-offset-preserving edge stores."""
     C, F = w.shape[-2:]
     w4 = jnp.zeros((3, 3, 4, C, 2, F), dtype)
     wt = w.astype(dtype)
     for dz in range(3):
         for h in range(2):
             w4 = w4.at[:, :, h + dz, :, h, :].set(wt[:, :, dz])
-    if split:
+    if split == "aligned":
+        w4 = w4[:, :, jnp.array([1, 2, 3, 0])]
+    elif split:
         w4 = w4[:, :, jnp.array([1, 2, 0, 3])]
     return w4.reshape(3, 3, 4 * C, 2 * F).reshape(9, 4 * C, 2 * F)
 

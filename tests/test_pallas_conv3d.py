@@ -331,11 +331,13 @@ def test_packed_unet_remat_parity():
             np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5), g, gr)
 
 
-@pytest.mark.parametrize("split", [True, False])
+@pytest.mark.parametrize("split", [True, False, "aligned"])
 def test_kernel_interpret_split_staging_modes(split):
-    """Both staging layouts of the packed kernel -- split (center 2C
-    dotted straight from the slab, edges staged) and full-4C -- must
-    match the XLA twin, plain and with the residual epilogue."""
+    """All staging layouts of the packed kernel -- split (center 2C
+    dotted straight from the slab, edges staged), lane-aligned split
+    (edge stores keep their source lane offsets; weight edge rows
+    swapped to match), and full-4C -- must match the XLA twin, plain
+    and with the residual epilogue."""
     from gfe_mamba_tpu.ops.pallas.conv3d import (_conv3x3x3_fused_p,
                                                  pack_z, unpack_z)
 

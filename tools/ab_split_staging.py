@@ -64,7 +64,7 @@ def main():
         assert len(set(vals)) == args.iters
         return dt
 
-    for split in (True, False):
+    for split in ("aligned", True, False):
         def make(kk, split=split):
             @jax.jit
             def fn(xv, w, s):

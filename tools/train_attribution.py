@@ -117,25 +117,27 @@ def main():
 
     # --- G fwd+bwd (full generator loss incl. D fwd + perceptual) ---
     def make_gstep(kk):
+        # chain via lax.scan, NOT a Python loop: an UNROLLED fwd+bwd
+        # chain lets the TPU fusion emitter fuse the backward's
+        # reversed-input conv across links and it crashes on the
+        # resulting negative pad_low window (fusion_emitter.cc Check
+        # failed: window.pad_low[i] == 0) — optimization_barrier on the
+        # carries is NOT sufficient on-chip.  scan compiles the body
+        # once, so there is nothing to fuse across.
         @jax.jit
         def fn(gp, dp, mri, pet, s):
-            acc = 0.0
-            y = mri
-            for i in range(kk):
-                def loss(p, y=y, i=i):
+            def body(carry, i):
+                acc, y = carry
+
+                def loss(p):
                     merged = {**gp, "params": p}
                     lg, _ = trainer._losses(merged, dp, y, pet, adv_on,
                                             jax.random.fold_in(key, i))
                     return lg
                 l, g = jax.value_and_grad(loss)(gp["params"])
                 leaf = jax.tree_util.tree_leaves(g)[0]
-                # barrier BOTH carries: without it XLA fuses the bwd's
-                # reversed-input conv across chain links and the TPU
-                # fusion emitter crashes on the resulting negative
-                # pad_low window (barriering y alone is not enough —
-                # the acc chain re-opens the fusion)
-                acc, y = jax.lax.optimization_barrier(
-                    (acc + l, mri + jnp.mean(leaf) * s * 0.0))
+                return (acc + l, mri + jnp.mean(leaf) * s * 0.0), None
+            (acc, _), _ = jax.lax.scan(body, (0.0, mri), jnp.arange(kk))
             return acc * s
         return fn
     report("G loss fwd+bwd (w/ D fwd)", slope(make_gstep, gp, dp))
