@@ -620,12 +620,21 @@ def _bwd_p(act, post_act, res, g):
     """Packed-NATIVE backward: every tensor stays z-pair packed.
 
     dz rides the same packed fused kernel with flipped/transposed
-    weights; dw comes from 27 (2C, 2F) block dots over packed operands
+    weights; dw comes from 18 (2C, 2F) block dots over packed operands
     -- the packed-row offset m and the intra-row parities (h1, h2)
-    jointly enumerate the fine-z tap offsets 2m + h1 - h2 in {-1,0,1},
-    so three packed dots per (dx, dy) recover all three z taps from
-    lane-full reads (the unpacked formulation re-materialized every
-    operand with 2x lane padding)."""
+    jointly enumerate the fine-z tap offsets 2m + h1 - h2 in {-1,0,1}.
+    The same-row dot t0 (m = 0) is FULLY used: its four parity blocks
+    are the two halves of tap 0 plus the same-row halves of taps -1 and
+    +1.  The two cross-row halves (m = +-1) used to be two more dots
+    with one live block each (12 blocks computed / 6 used = 2.0x the
+    useful MACs); they now share ONE staggered operand ``u`` whose
+    lanes pair z rows n+1 (slot 0, lanes [0, C)) with rows n-1 (slot 1,
+    lanes [C, 2C)) -- both lane-ALIGNED row shifts, built once since
+    the z stagger is (dx, dy)-independent -- so dot(u, g) carries both
+    edge blocks at once: 8 blocks computed / 6 used = 1.33x, i.e. dw
+    costs one forward-conv-equivalent of MXU work instead of two
+    (train_attribution round 5: the Stage-1 bwd premium was exactly
+    this)."""
     xv, w, bias, pre_scale, pre_shift, residual, out = res
     g = g.astype(xv.dtype)
     pag = _act_grad_from_out(out, post_act)
@@ -653,10 +662,17 @@ def _bwd_p(act, post_act, res, g):
     if pre_shift is not None:
         z = z + jnp.tile(pre_shift, (1, 2)).astype(
             xv.dtype)[:, None, None, None, :]
-    # xy halo 1; one zero packed row at the z END (fine z = Z is the
-    # only out-of-range sample the m=+1 blocks touch)
-    zp = jnp.pad(z, ((0, 0), (1, 1), (1, 1), (0, 1), (0, 0)))
-    gz = jnp.pad(g1, ((0, 0), (0, 0), (0, 0), (0, 1), (0, 0)))
+    # xy halo 1 on both operand variants; the staggered edge operand u
+    # pairs z rows n+1 (slot 0) with rows n-1 (slot 1) -- lane-aligned
+    # shifts with a zero row at each respective boundary
+    zp = jnp.pad(z, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0)))
+    u = jnp.concatenate([
+        jnp.pad(z[:, :, :, 1:, :C],
+                ((0, 0), (0, 0), (0, 0), (0, 1), (0, 0))),
+        jnp.pad(z[:, :, :, :-1, C:],
+                ((0, 0), (0, 0), (0, 0), (1, 0), (0, 0))),
+    ], axis=-1)
+    up = jnp.pad(u, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0)))
 
     cdims = (((0, 1, 2, 3), (0, 1, 2, 3)), ((), ()))
 
@@ -664,21 +680,18 @@ def _bwd_p(act, post_act, res, g):
         return jax.lax.dot_general(a, b, cdims,
                                    preferred_element_type=jnp.float32)
 
-    gs1 = jax.lax.slice(gz, (0, 0, 0, 1, 0),
-                        (B, X, Y, ZH + 1, 2 * F))
     taps = []
     for i in range(3):
         for j in range(3):
-            zs0 = jax.lax.slice(zp, (0, i, j, 0, 0),
-                                (B, i + X, j + Y, ZH, C2))
-            zs1 = jax.lax.slice(zp, (0, i, j, 1, 0),
-                                (B, i + X, j + Y, ZH + 1, C2))
-            t0 = blockdot(zs0, g1)           # m=0:  (h1, h2) blocks
-            tp = blockdot(zs1, g1)           # m=+1: block (0, 1)
-            tm = blockdot(zs0, gs1)          # m=-1: block (1, 0)
-            dk_m = t0[:C, F:] + tm[C:, :F]          # fine offset -1
+            zs = jax.lax.slice(zp, (0, i, j, 0, 0),
+                               (B, i + X, j + Y, ZH, C2))
+            us = jax.lax.slice(up, (0, i, j, 0, 0),
+                               (B, i + X, j + Y, ZH, C2))
+            t0 = blockdot(zs, g1)            # m=0: all 4 blocks live
+            tu = blockdot(us, g1)            # m=+-1 edge blocks
+            dk_m = t0[:C, F:] + tu[C:, :F]          # fine offset -1
             dk_0 = t0[:C, :F] + t0[C:, F:]          # fine offset  0
-            dk_p = t0[C:, :F] + tp[:C, F:]          # fine offset +1
+            dk_p = t0[C:, :F] + tu[:C, F:]          # fine offset +1
             taps.append(jnp.stack([dk_m, dk_0, dk_p]))
     dw = jnp.stack(taps).reshape(3, 3, 3, C, F).astype(w.dtype)
 
