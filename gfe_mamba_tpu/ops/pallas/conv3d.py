@@ -35,6 +35,7 @@ cut the canonical b1 generator train step 548 -> 389 ms (PERF_NOTES
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -458,6 +459,168 @@ def _bwd_core(x, w, bias, pre_scale, pre_shift, g0):
 conv3x3x3.defvjp(_fwd, _bwd)
 
 
+# ---------------------------------------------------------------------------
+# Pallas dw kernel: the weight gradient of the packed 3x3x3 conv as one
+# tiled VMEM-resident pass.
+#
+# The XLA block-dot dw (18 dot_generals, see _bwd_p) is HBM-BOUND: every
+# dot re-reads both full-size operands (~630 MB/pair at the flagship
+# full-res shape), so the dw tower costs ~18 operand reads per layer and
+# dominates the Stage-1 backward (train_attribution round 5: G bwd ran
+# 3.0x fwd, and cutting dw MACs 2.0x -> 1.33x moved the chain only
+# 271.5 -> 264.7 ms).  This kernel tiles over (b, x, y), DMAs the z slab
+# and the cotangent tile into VMEM ONCE each, computes all 18 tap-block
+# dots from VMEM (the staggered +-1 edge operand staged via the same
+# lane-aligned stores as the forward kernel), and accumulates the raw
+# (9, 2, 2C, 2F) f32 parity blocks across grid steps -- HBM traffic
+# collapses from ~18 reads to 2 per layer.
+# ---------------------------------------------------------------------------
+
+# Gate: the kernel passes interpret-mode parity (f32 7e-7 / bf16 2.6e-3
+# vs the unpacked reference) but the Mosaic lowering of the
+# sublane-offset-1 center slab slice has not yet been proven on-chip
+# (tunnel outage) -- default OFF until the on-chip parity run lands.
+_DW_PALLAS = os.environ.get("GFE_DW_PALLAS", "0") == "1"
+
+
+def _dw_vmem_estimate(XT, YT, ZP, GZP, C2, F2, itemsize):
+    it = itemsize
+    return (2 * (XT + 2) * (YT + 2) * ZP * C2 * it     # z slab x2 (dbuf)
+            + 2 * XT * YT * GZP * F2 * it              # g tile x2 (dbuf)
+            + (XT + 2) * (YT + 2) * GZP * C2 * it      # staggered u stage
+            + 2 * 9 * 2 * C2 * F2 * 4)                 # out blocks (margin)
+
+
+def _dw_pick_tiles(ZH, C2, F2, itemsize):
+    GZP = -(-ZH // 8) * 8
+    ZP = -(-(GZP + 2) // 8) * 8
+    for xt, yt in ((4, 16), (8, 8), (4, 8), (4, 4), (2, 8), (2, 4)):
+        if _dw_vmem_estimate(xt, yt, ZP, GZP, C2, F2,
+                             itemsize) < 13 * 2 ** 20:
+            return xt, yt
+    return None
+
+
+def _dw_kernel(z_ref, g_ref, out_ref, zbuf, gbuf, ubuf, zsem, gsem, *,
+               XT, YT, GZP, C, F):
+    """One (b, i, j) tile of the dw reduction.
+
+    zbuf tile: (XT+2, YT+2, ZP, 2C) -- xy halo 1, packed-z rows
+    [-1, 0..ZH-1, 0-pad...]; gbuf tile: (XT, YT, GZP, 2F).  Per (dx, dy)
+    two sublane-contraction dots: the center operand reads the slab at
+    z-row offset 1 directly; the staggered edge operand (z rows n+1
+    slot 0 / n-1 slot 1) is staged via two lane-aligned stores.  The
+    raw parity blocks accumulate into the revisited out block; the tap
+    assembly happens outside in XLA (tiny tensors)."""
+    b, i, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    nx, ny, nb = pl.num_programs(1), pl.num_programs(2), pl.num_programs(0)
+    step = (b * nx + i) * ny + j
+    slot = jax.lax.rem(step, 2)
+    C2, F2 = 2 * C, 2 * F
+
+    def start_dma(s, bb, ii, jj):
+        pltpu.make_async_copy(
+            z_ref.at[bb, pl.ds(ii * XT, XT + 2), pl.ds(jj * YT, YT + 2)],
+            zbuf.at[s], zsem.at[s]).start()
+        pltpu.make_async_copy(
+            g_ref.at[bb, pl.ds(ii * XT, XT), pl.ds(jj * YT, YT)],
+            gbuf.at[s], gsem.at[s]).start()
+
+    @pl.when(step == 0)
+    def _():
+        start_dma(0, b, i, j)
+
+    nj = jax.lax.rem(j + 1, ny)
+    carry_i = (j + 1) // ny
+    ni_ = jax.lax.rem(i + carry_i, nx)
+    nb_ = b + (i + carry_i) // nx
+
+    pltpu.make_async_copy(
+        z_ref.at[b, pl.ds(i * XT, XT + 2), pl.ds(j * YT, YT + 2)],
+        zbuf.at[slot], zsem.at[slot]).wait()
+    pltpu.make_async_copy(
+        g_ref.at[b, pl.ds(i * XT, XT), pl.ds(j * YT, YT)],
+        gbuf.at[slot], gsem.at[slot]).wait()
+
+    @pl.when(nb_ < nb)
+    def _():
+        start_dma(1 - slot, nb_, ni_, nj)
+
+    slab = zbuf[slot]
+    # staggered edge operand (lane-aligned stores, fwd-kernel pattern)
+    ubuf[:, :, :, 0:C] = slab[:, :, 2:GZP + 2, 0:C]
+    ubuf[:, :, :, C:C2] = slab[:, :, 0:GZP, C:C2]
+    gt = gbuf[slot].reshape(XT * YT * GZP, F2)
+
+    @pl.when(step == 0)
+    def _():
+        out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+    cd = (((0,), (0,)), ((), ()))
+    for dx in range(3):
+        for dy in range(3):
+            c_op = slab[dx:dx + XT, dy:dy + YT, 1:GZP + 1, :].reshape(
+                XT * YT * GZP, C2)
+            u_op = ubuf[dx:dx + XT, dy:dy + YT].reshape(XT * YT * GZP, C2)
+            t0 = jax.lax.dot_general(c_op, gt, cd,
+                                     preferred_element_type=jnp.float32)
+            tu = jax.lax.dot_general(u_op, gt, cd,
+                                     preferred_element_type=jnp.float32)
+            out_ref[dx * 3 + dy, 0] += t0
+            out_ref[dx * 3 + dy, 1] += tu
+
+
+@functools.partial(jax.jit, static_argnames=("xt", "yt", "interpret"))
+def _dw_pallas_p(z, g1, *, xt=4, yt=16, interpret=False):
+    """Packed-conv weight gradient in one Pallas pass.
+
+    z: (B, X, Y, ZH, 2C) GN-applied packed input; g1: (B, X, Y, ZH, 2F)
+    packed cotangent (post act-grad).  Returns dw (3, 3, 3, C, F) f32.
+    Matches the XLA block-dot formulation in _bwd_p exactly (same
+    parity-block decomposition; parity tested in interpret mode and
+    on-chip)."""
+    B, X, Y, ZH, C2 = z.shape
+    F2 = g1.shape[-1]
+    C, F = C2 // 2, F2 // 2
+    XT, YT = xt, yt
+    nx, ny = pl.cdiv(X, XT), pl.cdiv(Y, YT)
+    GZP = -(-ZH // 8) * 8
+    ZP = -(-(GZP + 2) // 8) * 8
+    zp = jnp.pad(z, ((0, 0), (1, nx * XT - X + 1), (1, ny * YT - Y + 1),
+                     (1, ZP - ZH - 1), (0, 0)))
+    gp = jnp.pad(g1, ((0, 0), (0, nx * XT - X), (0, ny * YT - Y),
+                      (0, GZP - ZH), (0, 0)))
+    raw = pl.pallas_call(
+        functools.partial(_dw_kernel, XT=XT, YT=YT, GZP=GZP, C=C, F=F),
+        grid=(B, nx, ny),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((9, 2, C2, F2), lambda b, i, j: (0, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((9, 2, C2, F2), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, XT + 2, YT + 2, ZP, C2), z.dtype),
+            pltpu.VMEM((2, XT, YT, GZP, F2), g1.dtype),
+            pltpu.VMEM((XT + 2, YT + 2, GZP, C2), z.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=36 * B * nx * XT * ny * YT * GZP * C2 * F2,
+            bytes_accessed=(zp.size * zp.dtype.itemsize
+                            + gp.size * gp.dtype.itemsize
+                            + 9 * 2 * C2 * F2 * 4),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(zp, gp)
+    t0, tu = raw[:, 0], raw[:, 1]
+    dk_m = t0[:, :C, F:] + tu[:, C:, :F]            # fine offset -1
+    dk_0 = t0[:, :C, :F] + t0[:, C:, F:]            # fine offset  0
+    dk_p = t0[:, C:, :F] + tu[:, :C, F:]            # fine offset +1
+    return jnp.stack([dk_m, dk_0, dk_p], axis=1).reshape(3, 3, 3, C, F)
+
+
 def _group_fold(mu_c, ex2_c, num_groups: int, eps: float):
     """Per-channel means -> per-channel (mu, rstd) of the channel's
     group (equal weights within a group -> exact)."""
@@ -662,6 +825,15 @@ def _bwd_p(act, post_act, res, g):
     if pre_shift is not None:
         z = z + jnp.tile(pre_shift, (1, 2)).astype(
             xv.dtype)[:, None, None, None, :]
+    platform = jax.devices()[0].platform
+    dw_tiles = _dw_pick_tiles(ZH, C2, 2 * F, xv.dtype.itemsize)
+    if (_DW_PALLAS and platform in ("tpu", "axon") and C % 64 == 0
+            and C2 >= 128 and F % 64 == 0 and dw_tiles is not None):
+        dw = _dw_pallas_p(z, g1, xt=dw_tiles[0],
+                          yt=dw_tiles[1]).astype(w.dtype)
+        return _bwd_p_rest(xv, w, bias, pre_scale, pre_shift, residual,
+                           dz, dw, g1, dres, C, F)
+
     # xy halo 1 on both operand variants; the staggered edge operand u
     # pairs z rows n+1 (slot 0) with rows n-1 (slot 1) -- lane-aligned
     # shifts with a zero row at each respective boundary
@@ -694,7 +866,14 @@ def _bwd_p(act, post_act, res, g):
             dk_p = t0[C:, :F] + tu[:C, F:]          # fine offset +1
             taps.append(jnp.stack([dk_m, dk_0, dk_p]))
     dw = jnp.stack(taps).reshape(3, 3, 3, C, F).astype(w.dtype)
+    return _bwd_p_rest(xv, w, bias, pre_scale, pre_shift, residual,
+                       dz, dw, g1, dres, C, F)
 
+
+def _bwd_p_rest(xv, w, bias, pre_scale, pre_shift, residual, dz, dw, g1,
+                dres, C, F):
+    """Shared tail of the packed backward: dbias and the pre-affine
+    (scale, shift) gradients, downstream of whichever dw path ran."""
     dbias = None
     if bias is not None:
         s = jnp.sum(g1.astype(jnp.float32), axis=(0, 1, 2, 3))

@@ -361,3 +361,34 @@ def test_kernel_interpret_split_staging_modes(split):
     want = jax.nn.elu(_reference_impl(x, w, bias, a, b, "none") + res)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_dw_pallas_kernel_interpret_matches_unpacked_reference():
+    """The Pallas weight-gradient kernel (one VMEM-resident pass over
+    the packed operands) must reproduce the direct unpacked dw
+    convolution: dw[i,j,k,c,f] = sum_bxyz zhat[x+i-1,y+j-1,z+k-1,c]
+    * g1[x,y,z,f].  Covers a non-divisible spatial geometry (cdiv grid
+    + zero-padded tails) and the dispatch-eligible lane widths."""
+    from gfe_mamba_tpu.ops.pallas.conv3d import (_dw_pallas_p,
+                                                 _dw_pick_tiles, unpack_z)
+
+    B, X, Y, ZH, C, F = 1, 6, 10, 5, 64, 64
+    C2, F2 = 2 * C, 2 * F
+    z = 0.1 * _rand(0, (B, X, Y, ZH, C2))
+    g1 = 0.1 * _rand(1, (B, X, Y, ZH, F2))
+
+    zu = np.asarray(unpack_z(z))
+    gu = np.asarray(unpack_z(g1))
+    zp = np.pad(zu, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+    Z2 = 2 * ZH
+    ref = np.zeros((3, 3, 3, C, F), np.float32)
+    for i in range(3):
+        for j in range(3):
+            for k in range(3):
+                ref[i, j, k] = np.einsum(
+                    "bxyzc,bxyzf->cf",
+                    zp[:, i:i + X, j:j + Y, k:k + Z2, :], gu)
+
+    xt, yt = _dw_pick_tiles(ZH, C2, F2, 4)
+    got = np.asarray(_dw_pallas_p(z, g1, xt=xt, yt=yt, interpret=True))
+    np.testing.assert_allclose(got, ref, atol=3e-4, rtol=3e-4)
