@@ -831,9 +831,18 @@ def _bwd_p(act, post_act, res, g):
             and C2 >= 128 and F % 64 == 0 and dw_tiles is not None):
         dw = _dw_pallas_p(z, g1, xt=dw_tiles[0],
                           yt=dw_tiles[1]).astype(w.dtype)
-        return _bwd_p_rest(xv, w, bias, pre_scale, pre_shift, residual,
-                           dz, dw, g1, dres, C, F)
+    else:
+        dw = _dw_blockdot_p(z, g1).astype(w.dtype)
+    return _bwd_p_rest(xv, w, bias, pre_scale, pre_shift, residual,
+                       dz, dw, g1, dres, C, F)
 
+
+def _dw_blockdot_p(z, g1):
+    """XLA block-dot dw over packed operands (18 dots; see _bwd_p
+    docstring for the parity-block algebra).  Shared by _bwd_p's
+    fallback path and tools/ab_dw_pallas.py."""
+    B, X, Y, ZH, C2 = z.shape
+    C, F = C2 // 2, g1.shape[-1] // 2
     # xy halo 1 on both operand variants; the staggered edge operand u
     # pairs z rows n+1 (slot 0) with rows n-1 (slot 1) -- lane-aligned
     # shifts with a zero row at each respective boundary
@@ -865,9 +874,7 @@ def _bwd_p(act, post_act, res, g):
             dk_0 = t0[:C, :F] + t0[C:, F:]          # fine offset  0
             dk_p = t0[C:, :F] + tu[:C, F:]          # fine offset +1
             taps.append(jnp.stack([dk_m, dk_0, dk_p]))
-    dw = jnp.stack(taps).reshape(3, 3, 3, C, F).astype(w.dtype)
-    return _bwd_p_rest(xv, w, bias, pre_scale, pre_shift, residual,
-                       dz, dw, g1, dres, C, F)
+    return jnp.stack(taps).reshape(3, 3, 3, C, F)
 
 
 def _bwd_p_rest(xv, w, bias, pre_scale, pre_shift, residual, dz, dw, g1,
