@@ -45,12 +45,16 @@ def main():
     x = jax.device_put(
         (jnp.arange(1 * 160 * 160 * 96, dtype=jnp.float32) % 7 - 3)
         .astype(jnp.bfloat16).reshape(1, 160, 160, 96, 1) * 0.1)
-    params = gen.init(jax.random.key(0), jnp.zeros((1, 16, 16, 8, 1),
-                                                   jnp.bfloat16))
-    # init at tiny shape is fine (shape-independent params); cast bf16
-    params = jax.tree_util.tree_map(
-        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
-        params)
+    # eval_shape init (no compute), then fill with small random values
+    shapes = jax.eval_shape(gen.init, jax.random.key(0),
+                            jnp.zeros(x.shape, jnp.bfloat16))
+    leaves, treedef = jax.tree_util.tree_flatten(shapes)
+    rngs = jax.random.split(jax.random.key(1), len(leaves))
+    params = jax.tree_util.tree_unflatten(treedef, [
+        (jax.random.normal(r, s.shape, jnp.bfloat16) * 0.02)
+        if jnp.issubdtype(s.dtype, jnp.floating)
+        else jnp.zeros(s.shape, s.dtype)
+        for r, s in zip(rngs, leaves)])
 
     def timed(fn, *ops):
         vals = [float(fn(*ops, np.float32(i + 1))) for i in range(2)]
@@ -73,9 +77,13 @@ def main():
                                       .astype(x.dtype))
                         return jnp.mean(jnp.abs(y.astype(jnp.float32)))
                     l, g = jax.value_and_grad(loss)(params)
-                    leaf = jax.tree_util.tree_leaves(g)[0]
-                    return acc + l + jnp.sum(leaf.astype(jnp.float32)
-                                             .ravel()[:4]) * 1e-12, None
+                    # consume EVERY gradient leaf: reducing only one
+                    # leaf lets XLA dead-code-eliminate all the other
+                    # layers' dw towers (the round-5 probe bug -- every
+                    # earlier chain underestimated the backward)
+                    gsum = sum(jnp.sum(leaf.astype(jnp.float32))
+                               for leaf in jax.tree_util.tree_leaves(g))
+                    return acc + l + gsum * 1e-12, None
                 acc, _ = jax.lax.scan(body, s.astype(jnp.float32),
                                       jnp.arange(kk))
                 return acc

@@ -135,8 +135,16 @@ def main():
                                             jax.random.fold_in(key, i))
                     return lg
                 l, g = jax.value_and_grad(loss)(gp["params"])
-                leaf = jax.tree_util.tree_leaves(g)[0]
-                return (acc + l, mri + jnp.mean(leaf) * s * 0.0), None
+                # consume EVERY gradient leaf: reducing only one leaf
+                # lets XLA dead-code-eliminate every other layer's dw
+                # tower (round-5 probe bug -- the earlier chains
+                # underestimated the backward by the whole dw cost)
+                gsum = sum(jnp.sum(lf.astype(jnp.float32))
+                           for lf in jax.tree_util.tree_leaves(g))
+                # 1e-30 scale: rounds away in the f32 add (y stays
+                # exactly mri) but is not an x*0 the simplifier could
+                # fold, so the full gradient stays live
+                return (acc + l, mri + gsum * s * 1e-30), None
             (acc, _), _ = jax.lax.scan(body, (0.0, mri), jnp.arange(kk))
             return acc * s
         return fn
@@ -180,7 +188,9 @@ def main():
                     return trainer._d_loss(merged, mri + i * 0.0, pet,
                                            adv_on)
                 l, g = jax.value_and_grad(loss)(dp["params"])
-                acc += l + jnp.mean(jax.tree_util.tree_leaves(g)[0])
+                acc += l + sum(jnp.sum(lf.astype(jnp.float32))
+                               for lf in jax.tree_util.tree_leaves(g)
+                               ) * 1e-12
             return acc * s
         return fn
     report("D loss fwd+bwd (fake+real)", slope(make_dstep, dp))
