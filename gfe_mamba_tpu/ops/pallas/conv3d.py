@@ -476,11 +476,13 @@ conv3x3x3.defvjp(_fwd, _bwd)
 # collapses from ~18 reads to 2 per layer.
 # ---------------------------------------------------------------------------
 
-# Gate: the kernel passes interpret-mode parity (f32 7e-7 / bf16 2.6e-3
-# vs the unpacked reference) but the Mosaic lowering of the
-# sublane-offset-1 center slab slice has not yet been proven on-chip
-# (tunnel outage) -- default OFF until the on-chip parity run lands.
-_DW_PALLAS = os.environ.get("GFE_DW_PALLAS", "0") == "1"
+# Default ON: on-chip parity vs the block-dot path is exact to f32
+# accumulation order (rel 3.4e-7 f32 / 3.7e-7 bf16) and the kernel runs
+# the full-res layer's dw in 2.69 ms vs 15.07 ms for the 18 XLA block
+# dots (5.6x -- the block dots re-read both full operands from HBM per
+# dot; tools/ab_dw_pallas.py, round 5).  GFE_DW_PALLAS=0 restores the
+# XLA path.
+_DW_PALLAS = os.environ.get("GFE_DW_PALLAS", "1") == "1"
 
 
 def _dw_vmem_estimate(XT, YT, ZP, GZP, C2, F2, itemsize):
