@@ -93,6 +93,19 @@ class ClassifyTrainer:
     def train_step(self, state: ClassifyState, mri, x_cat, x_num, labels,
                    rng):
         def loss_fn(p):
+            # stop_gradient on the frozen generator subtree: the
+            # reference runs the generator under torch.no_grad()
+            # (classify_mamba.py:100), so no cotangent ever flows into
+            # it.  The optimizer mask alone zeroes the UPDATE but
+            # leaves the generator backward in the graph -- XLA
+            # computed and discarded ~130 ms of G bwd per step
+            # (round 5: stage-2 199.5 -> see PERF_NOTES).  Grads for
+            # generator leaves become exact zeros, identical to the
+            # masked update; trainable-param grads are unchanged
+            # (tests/test_training.py::test_stage2_stop_gradient).
+            if "generator" in p:
+                p = {**p, "generator":
+                     jax.lax.stop_gradient(p["generator"])}
             return self._loss({**state.params, "params": p}, mri, x_cat,
                               x_num, labels, rng)
 

@@ -78,6 +78,45 @@ def test_gan_trainer_step_updates_and_warmup_gate():
     assert float(logs2["d_loss"]) > 0
 
 
+def test_stage2_stop_gradient():
+    """train_step's stop_gradient on the generator subtree is exactly
+    the masked-update semantics: trainable-param grads are unchanged
+    vs differentiating through the generator, and generator grads are
+    exact zeros (the reference's torch.no_grad() generator forward,
+    classify_mamba.py:100)."""
+    model = build_gfe_mamba(categories=(3, 2), num_continuous=3, dim=32,
+                            depth=1, heads=2, seq_length=2, **TINY_GEN)
+    trainer = ClassifyTrainer(model, mixed_precision="none")
+    rng = jax.random.key(1)
+    mri = jnp.asarray(np.random.RandomState(3).randn(2, 16, 16, 8, 1),
+                      jnp.float32)
+    x_cat = jnp.zeros((2, 2), jnp.int32)
+    x_num = jnp.ones((2, 3), jnp.float32)
+    y = jnp.asarray([1.0, 0.0])
+    state = trainer.init_state(rng, mri, x_cat, x_num)
+    p0 = state.params["params"]
+
+    def loss_raw(p):
+        return trainer._loss({**state.params, "params": p}, mri, x_cat,
+                             x_num, y, rng)[0]
+
+    def loss_stop(p):
+        p = {**p, "generator": jax.lax.stop_gradient(p["generator"])}
+        return loss_raw(p)
+
+    g_raw = jax.grad(loss_raw)(p0)
+    g_stop = jax.grad(loss_stop)(p0)
+    for leaf in jax.tree_util.tree_leaves(g_stop["generator"]):
+        assert float(jnp.max(jnp.abs(leaf))) == 0.0
+    for k in p0:
+        if k == "generator":
+            continue
+        for a, b in zip(jax.tree_util.tree_leaves(g_raw[k]),
+                        jax.tree_util.tree_leaves(g_stop[k])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-7)
+
+
 def test_classify_trainer_freezes_generator():
     model = build_gfe_mamba(categories=(3, 2), num_continuous=3, dim=32,
                             depth=1, heads=2, seq_length=2, **TINY_GEN)
