@@ -72,7 +72,10 @@ def _apply_act(y: Array, act: str) -> Array:
 # (47.3% dense peak) vs full-4C 25.78 ms (42.8%) -- Mosaic accepts the
 # sublane-offset center operand and the split layout wins by 10.5%;
 # numeric parity with the XLA reference verified on-chip for
-# elu / residual+leaky / ragged-tile shapes.
+# elu / residual+leaky / ragged-tile shapes.  The round-5 "aligned"
+# edge-staging variant (lane-offset-preserving edge stores, swapped
+# weight rows) measured WORSE on-chip (25.68 ms/unit vs 23.93): the
+# edge lane-rotate is not the cost, so split=True stays the default.
 _SPLIT_STAGING = True
 
 
