@@ -301,6 +301,13 @@ def _conv3x3x3_fused_p(xv, w, bias, pre_scale, pre_shift, residual=None, *,
             transcendentals=B * X * Y * ZH * 2 * F
             if "elu" in (act, post_act) else 0,
         ),
+        # Tile geometry is NOT a lever here: the round-5 on-chip sweep
+        # (tools/ab_tile_sweep.py, full-res b4) measured 24.4 ms/unit at
+        # (4,16) vs 24.0 at (8,32) with (8,16)/(4,32)/(16,16)/(8,40) in
+        # between -- a 1.6% spread, so the input-halo DMA (69% extra at
+        # (4,16)) is fully hidden behind compute and the 46%-of-peak
+        # ceiling is the structural 4/3 K-slot inflation plus the VMEM
+        # staging stores.  (4,16) from _pick_tiles stays the default.
         interpret=interpret,
     )(*operands)
     return out[:, :X, :Y]
